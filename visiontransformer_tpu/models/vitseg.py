@@ -1,0 +1,69 @@
+"""ViT segmentation model: backbone + conv head + bilinear upsample.
+
+Mirrors `ViTSegmentationModel` (reference model/CE/classes.py:221-262):
+drop the CLS token, fold tokens back to a (√N, √N) feature map, run
+Conv3×3(hidden→256) + ReLU + Conv1×1(256→num_classes), and bilinearly upsample
+(align_corners=False) to the input resolution.
+
+Activation layout is NHWC end-to-end (TPU-native); ``vitseg_logits_nchw``
+transposes at the boundary for torch-parity tests and reference-format
+consumers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from visiontransformer_tpu.configs import ViTSegConfig
+from visiontransformer_tpu.models.vit import vit_apply, vit_init
+from visiontransformer_tpu.nn.layers import conv2d, conv2d_init
+from visiontransformer_tpu.ops.resize import resize_bilinear
+
+
+def vitseg_init(key: jax.Array, cfg: ViTSegConfig) -> dict:
+    k_backbone, k_head1, k_head2 = jax.random.split(key, 3)
+    return {
+        "backbone": vit_init(k_backbone, cfg.vit),
+        "head_conv1": conv2d_init(k_head1, cfg.vit.hidden_size,
+                                  cfg.head_channels, 3),
+        "head_conv2": conv2d_init(k_head2, cfg.head_channels,
+                                  cfg.num_classes, 1),
+    }
+
+
+def vitseg_apply(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
+                 deterministic: bool = True, rng: Optional[jax.Array] = None,
+                 attn_impl: str = "auto") -> jnp.ndarray:
+    """(B, H, W, 3) images -> (B, H, W, num_classes) logits (NHWC)."""
+    dtype = cfg.dtype
+    tokens = vit_apply(params["backbone"], images, cfg.vit,
+                       deterministic=deterministic, rng=rng,
+                       attn_impl=attn_impl, dtype=dtype)
+
+    # Drop CLS (reference model/CE/classes.py:250) and fold to a feature map.
+    tokens = tokens[:, 1:, :]
+    b = tokens.shape[0]
+    g = cfg.vit.grid_size
+    features = tokens.reshape(b, g, g, cfg.vit.hidden_size)
+
+    x = conv2d(params["head_conv1"], features)
+    x = jax.nn.relu(x)
+    x = conv2d(params["head_conv2"], x)
+
+    # Upsample in fp32 — the lerp is bandwidth-bound, not MXU-bound, and fp32
+    # keeps argmax ties identical to the reference.
+    x = resize_bilinear(x.astype(jnp.float32),
+                        (images.shape[1], images.shape[2]),
+                        h_axis=1, w_axis=2)
+    return x
+
+
+def vitseg_logits_nchw(params: dict, images_nchw: jnp.ndarray,
+                       cfg: ViTSegConfig, **kwargs) -> jnp.ndarray:
+    """Torch-layout wrapper: (B, 3, H, W) in -> (B, C, H, W) logits out."""
+    images = jnp.transpose(images_nchw, (0, 2, 3, 1))
+    logits = vitseg_apply(params, images, cfg, **kwargs)
+    return jnp.transpose(logits, (0, 3, 1, 2))

@@ -1,0 +1,100 @@
+"""Minimal pure-functional NN layers.
+
+Every layer is a pair of functions: ``*_init(key, ...) -> params`` returning a
+pytree of fp32 arrays, and an apply function taking ``(params, x, ...)``. No
+module objects, no mutable state — parameters thread explicitly, which is what
+makes jit/shard_map/pjit composition trivial and keeps the PyTorch-checkpoint
+converter (ckpt/torch_convert.py) a plain key-mapping exercise.
+
+Initializer semantics mirror HF transformers' ViT init so fresh models are
+distributionally identical to the reference
+(reference model/CE/classes.py:224-238 builds `ViTModel(ViTConfig(...))` whose
+weights are trunc-normal(initializer_range), zero bias, LN weight=1 bias=0).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def trunc_normal(key, shape, std: float = 0.02, dtype=jnp.float32):
+    """HF-style truncated normal: N(0, std) truncated to ±2 std."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def linear_init(key, in_features: int, out_features: int, std: float = 0.02,
+                bias: bool = True):
+    params = {"kernel": trunc_normal(key, (in_features, out_features), std)}
+    if bias:
+        params["bias"] = jnp.zeros((out_features,), jnp.float32)
+    return params
+
+
+def linear(params, x, *, dtype=None):
+    """y = x @ W + b. Kernel stored (in, out) fp32; cast to the activation
+    dtype (or an explicit ``dtype``) on use so bf16 compute stays bf16."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    kernel = params["kernel"].astype(x.dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y
+
+
+def layer_norm_init(features: int):
+    return {"scale": jnp.ones((features,), jnp.float32),
+            "bias": jnp.zeros((features,), jnp.float32)}
+
+
+def layer_norm(params, x, *, eps: float = 1e-12):
+    """LayerNorm over the last axis, computed in fp32 for stability then cast
+    back — matches torch LayerNorm numerics under bf16 activations."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"] + params["bias"]
+    return y.astype(orig_dtype)
+
+
+def gelu_exact(x):
+    """Exact (erf) GELU — HF ViT uses ACT2FN['gelu'] which is the exact erf
+    form, not the tanh approximation."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def conv2d_init(key, in_channels: int, out_channels: int, kernel_size: int,
+                std: float = 0.02):
+    """Conv kernel stored HWIO (JAX-native layout)."""
+    shape = (kernel_size, kernel_size, in_channels, out_channels)
+    return {"kernel": trunc_normal(key, shape, std),
+            "bias": jnp.zeros((out_channels,), jnp.float32)}
+
+
+def conv2d(params, x, *, stride: int = 1, padding="SAME", dtype=None):
+    """NHWC conv. XLA maps this straight onto the MXU for large channel counts."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    kernel = params["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return y + params["bias"].astype(y.dtype)
+
+
+def dropout(key: Optional[jax.Array], x, rate: float, *, deterministic: bool):
+    """Inverted dropout, matching torch nn.Dropout semantics."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))

@@ -1,0 +1,130 @@
+"""Loss/metric definitions for the three training tasks.
+
+Each task is a pure function (params, batch, rng, deterministic) ->
+(loss, metrics-dict), jit-compatible, mirroring the three Lightning modules:
+
+- ``ce_loss_fn``               ↔ LightningViTModel (CE)
+  (reference model/CE/classes.py:264-297)
+- ``paed_multiclass_loss_fn``  ↔ LightningViTModel (PAED flavor)
+  (reference model/PAED/classes.py:415-487)
+- ``paed_binary_loss_fn``      ↔ PAEDTrainer._forward_step_paed
+  (reference model/PAED/classes.py:664-701)
+
+Batches are dicts of NHWC arrays. The binary task takes raw binary masks and
+computes SDF targets on-device (losses/sdf.py) — the reference computes them
+with scipy inside dataloader workers (model/PAED/classes.py:69).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from visiontransformer_tpu.configs import ViTSegConfig
+from visiontransformer_tpu.losses.basic import cross_entropy_loss
+from visiontransformer_tpu.losses.paed import (
+    paed_binary_total_loss,
+    paed_loss_multiclass_soft,
+)
+from visiontransformer_tpu.losses.sdf import compute_sdf_batch
+from visiontransformer_tpu.metrics.segmentation import (
+    dice_score_binary,
+    iou_binary,
+    pixel_accuracy_binary,
+    precision_binary,
+    recall_binary,
+    soft_iou_score,
+)
+from visiontransformer_tpu.models.vitseg import vitseg_apply
+from visiontransformer_tpu.ops.resize import resize_nearest_torch
+
+
+def _resize_target(y: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Nearest-resize integer/binary targets to the model input size —
+    torch F.interpolate(mode='nearest') semantics
+    (reference model/CE/classes.py:273-274)."""
+    return resize_nearest_torch(y, (size, size))
+
+
+def ce_loss_fn(params, batch, cfg: ViTSegConfig, *,
+               rng: Optional[jax.Array] = None, deterministic: bool = False):
+    """Multiclass CE training step body. batch: images (B,H,W,3) float,
+    masks (B,Hm,Wm) int32 class indices."""
+    images, masks = batch["image"], batch["mask"]
+    target = _resize_target(masks, cfg.vit.image_size)
+    logits = vitseg_apply(params, images, cfg, deterministic=deterministic,
+                          rng=rng)
+    loss = cross_entropy_loss(logits, target)
+    return loss, {"loss": loss}
+
+
+def paed_multiclass_loss_fn(params, batch, cfg: ViTSegConfig, *,
+                            rng: Optional[jax.Array] = None,
+                            deterministic: bool = False):
+    """Multiclass PAED flavor: softmax probs vs one-hot target under the
+    Gaussian-smoothed PAED loss, plus the monitoring IoU
+    (reference model/PAED/classes.py:448-467)."""
+    images, masks = batch["image"], batch["mask"]
+    target = _resize_target(masks, cfg.vit.image_size)
+    logits = vitseg_apply(params, images, cfg, deterministic=deterministic,
+                          rng=rng)
+    probs = jax.nn.softmax(logits, axis=-1)
+    preds = jnp.argmax(probs, axis=-1)
+    one_hot = jax.nn.one_hot(target, cfg.num_classes, dtype=jnp.float32)
+    loss = paed_loss_multiclass_soft(one_hot, probs)
+    iou = soft_iou_score(preds, target, cfg.num_classes)
+    return loss, {"loss": loss, "iou": iou}
+
+
+def paed_binary_loss_fn(params, batch, cfg: ViTSegConfig, *,
+                        rng: Optional[jax.Array] = None,
+                        deterministic: bool = False):
+    """Binary crack task: BCE + 0.1·dice + 5·|paed| with on-device SDFs.
+    batch: images (B,H,W,3), masks (B,H,W) binary float."""
+    images, masks = batch["image"], batch["mask"]
+    masks = _resize_target(masks, cfg.vit.image_size)
+
+    # SDF targets on-device (stop_gradient: they are targets, and the
+    # reference detaches them too, model/PAED/classes.py:569-570).
+    sdf_ext, sdf_int = compute_sdf_batch(masks > 0.5)
+    sdf_ext = jax.lax.stop_gradient(sdf_ext)
+    sdf_int = jax.lax.stop_gradient(sdf_int)
+
+    logits = vitseg_apply(params, images, cfg, deterministic=deterministic,
+                          rng=rng)  # (B, H, W, 1)
+    preds = jax.nn.sigmoid(logits)
+
+    masks4 = masks[..., None].astype(jnp.float32)
+    loss, parts = paed_binary_total_loss(preds, masks4, sdf_ext, sdf_int)
+
+    bin_preds = (preds > 0.5).astype(jnp.int32)[..., 0]
+    gt = masks.astype(jnp.int32)
+    metrics = {
+        "loss": loss,
+        "bce": parts["bce"],
+        "dice_loss": parts["dice"],
+        "paed": parts["paed"],
+        "acc": pixel_accuracy_binary(gt, bin_preds),
+        "IoU": iou_binary(gt, bin_preds),
+        "dice": dice_score_binary(gt, bin_preds),
+        "precision": precision_binary(gt, bin_preds),
+        "recall": recall_binary(gt, bin_preds),
+    }
+    return loss, metrics
+
+
+TASKS = {
+    "ce": ce_loss_fn,
+    "paed_multiclass": paed_multiclass_loss_fn,
+    "paed_binary": paed_binary_loss_fn,
+}
+
+
+def get_task(name: str):
+    try:
+        return TASKS[name]
+    except KeyError:
+        raise KeyError(f"unknown task {name!r}; known: {sorted(TASKS)}")
