@@ -1,0 +1,249 @@
+"""Serving platform: end-to-end over real HTTP with the embedded worker.
+
+Covers the reference's API contract table (SURVEY.md §1): auth flow, job
+submit → dynamic-batched inference → DONE with mask URL, ?status= filter,
+pagination shape, double-completion guard, metrics counters, failure path.
+"""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from visiontransformer_tpu.serve.store import JobStore
+from visiontransformer_tpu.serve.server import create_server
+from visiontransformer_tpu.serve.worker import InferenceWorker
+
+
+def _png_bytes(size=32, value=128):
+    img = Image.fromarray(
+        np.full((size, size, 3), value, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _multipart(fields, files):
+    boundary = "testboundary123"
+    parts = []
+    for k, v in fields.items():
+        parts.append(f'--{boundary}\r\nContent-Disposition: form-data; '
+                     f'name="{k}"\r\n\r\n{v}\r\n'.encode())
+    for k, (fname, content) in files.items():
+        parts.append(f'--{boundary}\r\nContent-Disposition: form-data; '
+                     f'name="{k}"; filename="{fname}"\r\n'
+                     f'Content-Type: image/png\r\n\r\n'.encode()
+                     + content + b"\r\n")
+    parts.append(f"--{boundary}--\r\n".encode())
+    body = b"".join(parts)
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+class Client:
+    def __init__(self, base):
+        self.base = base
+        self.cookies = {}
+
+    def request(self, method, path, body=None, content_type=None,
+                headers=None):
+        req = urllib.request.Request(self.base + path, data=body,
+                                     method=method)
+        if content_type:
+            req.add_header("Content-Type", content_type)
+        if self.cookies:
+            req.add_header("Cookie", "; ".join(
+                f"{k}={v}" for k, v in self.cookies.items()))
+        for k, v in (headers or {}).items():
+            req.add_header(k, v)
+        try:
+            resp = urllib.request.urlopen(req)
+            status = resp.status
+        except urllib.error.HTTPError as e:
+            resp = e
+            status = e.code
+        for header in resp.headers.get_all("Set-Cookie") or []:
+            kv = header.split(";")[0]
+            k, v = kv.split("=", 1)
+            if v:
+                self.cookies[k] = v
+            else:
+                self.cookies.pop(k, None)
+        raw = resp.read()
+        try:
+            return status, json.loads(raw)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return status, raw
+
+    def get(self, path, **kw):
+        return self.request("GET", path, **kw)
+
+    def post_json(self, path, payload, **kw):
+        return self.request("POST", path, json.dumps(payload).encode(),
+                            "application/json", **kw)
+
+
+@pytest.fixture(scope="module")
+def serving(tmp_path_factory):
+    media = str(tmp_path_factory.mktemp("media"))
+    store = JobStore(":memory:", media_root=media)
+    store.register_model("tiny-vit", num_classes=5, config_name="P16H512A8",
+                         input_size=32)
+    # Tiny config override: the registry names a sweep config; for the test
+    # monkeypatch ModelRunner's config via a tiny sweep entry.
+    import visiontransformer_tpu.serve.worker as worker_mod
+    from visiontransformer_tpu.configs import SweepEntry
+
+    orig = worker_mod.sweep_by_name
+    worker_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+
+    worker = InferenceWorker(store, compute_dtype="float32")
+    worker.start()
+    server, app = create_server(store, worker=worker)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield Client(base), store
+    worker.stop()
+    server.shutdown()
+    worker_mod.sweep_by_name = orig
+
+
+def test_hello_and_schema(serving):
+    client, _ = serving
+    status, payload = client.get("/api/hello/")
+    assert status == 200 and payload == {"message": "Hello, World!"}
+    status, schema = client.get("/api/schema/")
+    assert status == 200 and schema["openapi"].startswith("3.")
+    assert "/api/inference-jobs/" in schema["paths"]
+
+
+def test_vision_models(serving):
+    client, _ = serving
+    status, payload = client.get("/api/vision-models/")
+    assert status == 200
+    assert payload["count"] == 1
+    assert payload["results"][0]["name"] == "tiny-vit"
+    model_id = payload["results"][0]["id"]
+    status, model = client.get(f"/api/vision-models/{model_id}/")
+    assert status == 200 and model["config_name"] == "P16H512A8"
+    status, _ = client.get("/api/vision-models/999/")
+    assert status == 404
+
+
+def test_full_job_flow(serving):
+    client, store = serving
+    # register + login
+    status, _ = client.post_json("/api/users/register/",
+                                 {"username": "ana", "password": "secret1"})
+    assert status == 201
+    status, user = client.post_json("/api/users/login/",
+                                    {"username": "ana", "password": "secret1"})
+    assert status == 200 and "sessionid" in client.cookies
+
+    status, me = client.get("/api/users/current-user/")
+    assert status == 200 and me["username"] == "ana"
+
+    # CSRF cookie + header for the unsafe request
+    client.get("/api/csrf/")
+    csrf = client.cookies["csrftoken"]
+
+    body, ctype = _multipart({"vision_model": "1"},
+                             {"input_image": ("photo.png", _png_bytes())})
+    status, job = client.request("POST", "/api/inference-jobs/", body, ctype,
+                                 headers={"X-CSRFToken": csrf})
+    assert status == 201, job
+    assert job["status"] == "PENDING"
+    assert job["user_username"] == "ana"
+    assert job["vision_model_details"]["name"] == "tiny-vit"
+
+    # worker completes it
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        status, detail = client.get(f"/api/inference-jobs/{job['id']}/")
+        if detail["status"] in ("DONE", "FAILED"):
+            break
+        time.sleep(0.1)
+    assert detail["status"] == "DONE", detail
+    assert detail["mask_image"].startswith("/media/masks/")
+
+    # mask file is a readable PNG
+    status, mask_bytes = client.get(detail["mask_image"])
+    assert status == 200
+    mask = Image.open(io.BytesIO(mask_bytes))
+    assert mask.size == (32, 32)
+
+    # listing + status filter + pagination shape
+    status, listing = client.get("/api/inference-jobs/?status=DONE")
+    assert status == 200 and listing["count"] >= 1
+    assert set(listing.keys()) == {"count", "next", "previous", "results"}
+    status, empty = client.get("/api/inference-jobs/?status=FAILED")
+    assert empty["count"] == 0
+
+    # double completion rejected
+    body2, ctype2 = _multipart({}, {"mask_image": ("m.png", _png_bytes())})
+    status, err = client.request(
+        "POST", f"/api/inference-jobs/{job['id']}/complete/", body2, ctype2)
+    assert status == 400 and "error" in err
+
+    # metrics reflect the work
+    status, metrics = client.get("/api/metrics/")
+    assert metrics["total_photos_analyzed"] >= 1
+    assert metrics["total_failures_detected"] >= 1  # DONE count (sic)
+    assert metrics["total_users"] == 1
+
+
+def test_csrf_enforced_for_session_requests(serving):
+    client, _ = serving
+    # logged-in client without CSRF header must be rejected
+    body, ctype = _multipart({"vision_model": "1"},
+                             {"input_image": ("p.png", _png_bytes())})
+    status, err = client.request("POST", "/api/inference-jobs/", body, ctype)
+    assert status == 403
+
+
+def test_anonymous_listing_rejected(serving):
+    client, _ = serving
+    anon = Client(client.base)
+    status, _ = anon.get("/api/inference-jobs/")
+    assert status == 403
+
+
+def test_job_failure_path(serving):
+    client, store = serving
+    # corrupt upload -> decode error -> FAILED with error_message
+    anon = Client(client.base)
+    body, ctype = _multipart({"vision_model": "1"},
+                             {"input_image": ("bad.png", b"not a png")})
+    status, job = anon.request("POST", "/api/inference-jobs/", body, ctype)
+    assert status == 201
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        j = store.get_job(job["id"])
+        if j["status"] == "FAILED":
+            break
+        time.sleep(0.1)
+    assert j["status"] == "FAILED"
+    assert "decode error" in j["error_message"]
+
+
+def test_external_complete_flow(serving):
+    client, store = serving
+    # no-worker path: stop claiming by creating a job and completing via API
+    anon = Client(client.base)
+    body, ctype = _multipart({"vision_model": "1"},
+                             {"input_image": ("p.png", _png_bytes())})
+    status, job = anon.request("POST", "/api/inference-jobs/", body, ctype)
+    assert status == 201
+    # race with embedded worker is fine: complete() accepts PENDING or
+    # PROCESSING, and exactly one of the two completions can win.
+    body2, ctype2 = _multipart({}, {"mask_image": ("m.png", _png_bytes())})
+    status, resp = anon.request(
+        "POST", f"/api/inference-jobs/{job['id']}/complete/", body2, ctype2)
+    assert status in (200, 400)
+    final = store.get_job(job["id"])
+    assert final["status"] == "DONE"

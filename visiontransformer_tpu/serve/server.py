@@ -1,0 +1,382 @@
+"""REST serving platform.
+
+Implements the reference backend's public endpoint table (SURVEY.md §1;
+reference backend/project/urls.py:26-37, backend/core/urls.py:5-31,
+backend/users/urls.py:5-10) on the stdlib ThreadingHTTPServer, backed by the
+SQLite JobStore and the in-process dynamic-batching TPU worker:
+
+  GET  /api/csrf/                         set csrftoken cookie
+  GET  /api/hello/                        {"message": "Hello, World!"}
+  GET  /api/vision-models/[{pk}/]         model registry (paginated list)
+  GET  /api/inference-jobs/[?status=]     own jobs, paginated (page size 9)
+  POST /api/inference-jobs/               multipart {vision_model, input_image}
+  GET  /api/inference-jobs/{uuid}/        job detail
+  POST /api/inference-jobs/{uuid}/complete/  external-worker callback (parity
+       path; the embedded worker normally completes jobs itself)
+  GET  /api/metrics/                      job/user counts
+  POST /api/users/{register,login,logout}/   session auth
+  GET  /api/users/current-user/
+  GET  /api/schema/                       OpenAPI 3 JSON
+  GET  /media/...                         stored inputs/masks
+
+Response shapes mirror the DRF serializers (reference
+backend/core/serializers.py:22-75: nested vision_model_details,
+user_username, read-only status/mask_image/timestamps).
+
+Jobs are owned by the authenticated user (fixing views.py:58-63 which pins
+every job to the first DB user); anonymous submission is still allowed for
+contract parity (permission AllowAny, views.py:55) with user=None.
+"""
+
+from __future__ import annotations
+
+import json
+import mimetypes
+import os
+import threading
+import uuid as _uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+from visiontransformer_tpu.serve.auth import SessionSigner, new_csrf_token
+from visiontransformer_tpu.serve.http import (
+    json_bytes,
+    paginate,
+    parse_cookies,
+    parse_multipart,
+)
+from visiontransformer_tpu.serve.store import JobStore
+
+PAGE_SIZE = 9  # reference backend/project/settings.py:64
+
+
+class ServingApp:
+    """Routing + handlers, independent of the HTTP plumbing (testable)."""
+
+    def __init__(self, store: JobStore, *, worker=None,
+                 signer: Optional[SessionSigner] = None):
+        self.store = store
+        self.worker = worker
+        self.signer = signer or SessionSigner()
+
+    # ------------------------------------------------------------ helpers
+    def _current_user(self, cookies: Dict[str, str]) -> Optional[Dict]:
+        token = cookies.get("sessionid")
+        if not token:
+            return None
+        username = self.signer.verify(token)
+        return self.store.get_user_by_name(username) if username else None
+
+    def _check_csrf(self, cookies, headers) -> bool:
+        """Django-style double submit: session-authenticated unsafe requests
+        must echo the csrftoken cookie in the X-CSRFToken header."""
+        if "sessionid" not in cookies:
+            return True  # anonymous requests carry no ambient authority
+        cookie_token = cookies.get("csrftoken")
+        if not cookie_token:
+            return False
+        return headers.get("x-csrftoken") == cookie_token
+
+    def _serialize_job(self, job: Dict) -> Dict:
+        model = self.store.get_model(job["vision_model"])
+        return {
+            "id": job["id"],
+            "vision_model": job["vision_model"],
+            "vision_model_details": model,
+            "user_username": job["user_username"],
+            "status": job["status"],
+            "input_image": _media_url(job["input_image"], self.store),
+            "mask_image": _media_url(job["mask_image"], self.store),
+            "error_message": job["error_message"],
+            "detections": json.loads(job["detections"]) if job["detections"] else [],
+            "created_at": job["created_at"],
+            "updated_at": job["updated_at"],
+        }
+
+    # ------------------------------------------------------------- routes
+    def handle(self, method: str, path: str, query: Dict, headers: Dict,
+               body: bytes, cookies: Dict) -> Tuple[int, Dict, list]:
+        """Returns (status, payload, extra_headers)."""
+        route = path.rstrip("/")
+        send_headers = []
+
+        if route == "/api/csrf" and method == "GET":
+            token = new_csrf_token()
+            send_headers.append(("Set-Cookie",
+                                 f"csrftoken={token}; Path=/; SameSite=Lax"))
+            return 200, {"detail": "CSRF cookie set"}, send_headers
+
+        if route == "/api/hello" and method == "GET":
+            return 200, {"message": "Hello, World!"}, []
+
+        if route == "/api/vision-models" and method == "GET":
+            page = int(query.get("page", ["1"])[0])
+            return 200, paginate(self.store.list_models(), page, PAGE_SIZE,
+                                 "/api/vision-models/"), []
+
+        if route.startswith("/api/vision-models/") and method == "GET":
+            model = self.store.get_model(_int_or(route.split("/")[-1]))
+            if model is None:
+                return 404, {"detail": "Not found."}, []
+            return 200, model, []
+
+        if route == "/api/metrics" and method == "GET":
+            return 200, {
+                "total_photos_analyzed": self.store.count_jobs(),
+                "total_failures_detected": self.store.count_jobs("DONE"),
+                "total_users": self.store.count_users(),
+            }, []
+
+        if route.startswith("/api/users/"):
+            return self._handle_users(method, route, headers, body, cookies)
+
+        if route == "/api/inference-jobs":
+            if method == "GET":
+                return self._list_jobs(query, cookies)
+            if method == "POST":
+                if not self._check_csrf(cookies, headers):
+                    return 403, {"detail": "CSRF verification failed."}, []
+                return self._create_job(headers, body, cookies)
+
+        if route.startswith("/api/inference-jobs/"):
+            parts = route.split("/")
+            job_id = parts[3]
+            if len(parts) == 5 and parts[4] == "complete" and method == "POST":
+                return self._complete_job(job_id, headers, body)
+            if method == "GET":
+                job = self.store.get_job(job_id)
+                if job is None:
+                    return 404, {"detail": "Not found."}, []
+                user = self._current_user(cookies)
+                if job["user_id"] is not None and (
+                        user is None or user["id"] != job["user_id"]):
+                    return 404, {"detail": "Not found."}, []
+                return 200, self._serialize_job(job), []
+
+        if route == "/api/schema" and method == "GET":
+            from visiontransformer_tpu.serve.schema import openapi_schema
+            return 200, openapi_schema(), []
+
+        return 404, {"detail": "Not found."}, []
+
+    # ---------------------------------------------------------- users app
+    def _handle_users(self, method, route, headers, body, cookies):
+        if route == "/api/users/register" and method == "POST":
+            data = _json_body(body)
+            username = (data.get("username") or "").strip()
+            password = data.get("password") or ""
+            if not username or not password:
+                return 400, {"detail": "username and password required"}, []
+            if self.store.get_user_by_name(username):
+                return 400, {"detail": "username already exists"}, []
+            user = self.store.create_user(username, password,
+                                          data.get("email", ""))
+            return 201, {"id": user["id"], "username": user["username"]}, []
+
+        if route == "/api/users/login" and method == "POST":
+            data = _json_body(body)
+            user = self.store.authenticate(data.get("username", ""),
+                                           data.get("password", ""))
+            if user is None:
+                return 400, {"detail": "Invalid credentials"}, []
+            token = self.signer.create(user["username"])
+            cookie = (f"sessionid={token}; Path=/; HttpOnly; SameSite=Lax")
+            return 200, {"id": user["id"], "username": user["username"]}, [
+                ("Set-Cookie", cookie)]
+
+        if route == "/api/users/logout" and method == "POST":
+            return 200, {"detail": "Logged out"}, [
+                ("Set-Cookie",
+                 "sessionid=; Path=/; Max-Age=0")]
+
+        if route == "/api/users/current-user" and method == "GET":
+            user = self._current_user(cookies)
+            if user is None:
+                return 403, {"detail": "Not authenticated"}, []
+            return 200, {"id": user["id"], "username": user["username"],
+                         "email": user["email"]}, []
+
+        return 404, {"detail": "Not found."}, []
+
+    # ---------------------------------------------------------- job CRUD
+    def _list_jobs(self, query, cookies):
+        user = self._current_user(cookies)
+        if user is None:
+            return 403, {"detail": "Authentication required to list jobs."}, []
+        status = query.get("status", [None])[0]
+        jobs = self.store.list_jobs(user_id=user["id"], status=status)
+        page = int(query.get("page", ["1"])[0])
+        payload = paginate([self._serialize_job(j) for j in jobs], page,
+                           PAGE_SIZE, "/api/inference-jobs/")
+        return 200, payload, []
+
+    def _create_job(self, headers, body, cookies):
+        content_type = headers.get("content-type", "")
+        if "multipart/form-data" not in content_type:
+            return 400, {"detail": "multipart/form-data required"}, []
+        fields, files = parse_multipart(body, content_type)
+        model_id = _int_or(fields.get("vision_model"))
+        upload = files.get("input_image")
+        if model_id is None or upload is None:
+            return 400, {"detail": "vision_model and input_image required"}, []
+        if self.store.get_model(model_id) is None:
+            return 400, {"detail": f"unknown vision_model {model_id}"}, []
+
+        ext = os.path.splitext(upload.filename)[1] or ".png"
+        input_dir = os.path.join(self.store.media_root, "inputs")
+        os.makedirs(input_dir, exist_ok=True)
+        input_path = os.path.join(input_dir, f"{_uuid.uuid4()}{ext}")
+        with open(input_path, "wb") as f:
+            f.write(upload.content)
+
+        user = self._current_user(cookies)
+        job = self.store.create_job(user["id"] if user else None, model_id,
+                                    input_path)
+        return 201, self._serialize_job(job), []
+
+    def _complete_job(self, job_id, headers, body):
+        job = self.store.get_job(job_id)
+        if job is None:
+            return 404, {"detail": "Not found."}, []
+        if job["status"] == "DONE":
+            return 400, {"error": "Job already completed."}, []
+        content_type = headers.get("content-type", "")
+        if "multipart/form-data" not in content_type:
+            return 400, {"error": "mask_image is required."}, []
+        _, files = parse_multipart(body, content_type)
+        mask = files.get("mask_image")
+        if mask is None:
+            return 400, {"error": "mask_image is required."}, []
+        mask_dir = os.path.join(self.store.media_root, "masks")
+        os.makedirs(mask_dir, exist_ok=True)
+        ext = os.path.splitext(mask.filename)[1] or ".png"
+        mask_path = os.path.join(mask_dir, f"{job_id}{ext}")
+        with open(mask_path, "wb") as f:
+            f.write(mask.content)
+        completed = self.store.complete_job(job_id, mask_path)
+        if completed is None:
+            return 400, {"error": "Job already completed."}, []
+        return 200, self._serialize_job(completed), []
+
+
+def _media_url(path: Optional[str], store: JobStore) -> Optional[str]:
+    if not path:
+        return None
+    rel = os.path.relpath(path, store.media_root)
+    return f"/media/{rel}"
+
+
+def _json_body(body: bytes) -> Dict:
+    try:
+        return json.loads(body.decode() or "{}")
+    except json.JSONDecodeError:
+        return {}
+
+
+def _int_or(value, default=None):
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return default
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: ServingApp = None  # set by create_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _dispatch(self, method: str):
+        parsed = urlparse(self.path)
+        if parsed.path.startswith("/media/") and method == "GET":
+            return self._serve_media(parsed.path)
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length) if length else b""
+        cookies = parse_cookies(self.headers.get("Cookie"))
+        headers = {k.lower(): v for k, v in self.headers.items()}
+        status, payload, extra = self.app.handle(
+            method, parsed.path, parse_qs(parsed.query), headers, body,
+            cookies)
+        data = json_bytes(payload)
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        for k, v in extra:
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _serve_media(self, path: str):
+        rel = path[len("/media/"):]
+        full = os.path.normpath(os.path.join(self.app.store.media_root, rel))
+        root = os.path.abspath(self.app.store.media_root)
+        if not os.path.abspath(full).startswith(root + os.sep) or \
+                not os.path.isfile(full):
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        with open(full, "rb") as f:
+            data = f.read()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+
+def create_server(store: JobStore, *, host: str = "127.0.0.1", port: int = 0,
+                  worker=None) -> Tuple[ThreadingHTTPServer, ServingApp]:
+    """Build (server, app); caller starts serve_forever (usually in a
+    thread) and the worker separately."""
+    app = ServingApp(store, worker=worker)
+    handler = type("BoundHandler", (_Handler,), {"app": app})
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, app
+
+
+def main():  # pragma: no cover - manual entry point
+    import argparse
+
+    from visiontransformer_tpu.serve.worker import InferenceWorker
+
+    parser = argparse.ArgumentParser(description="TPU serving platform")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--db", default="serving.db")
+    parser.add_argument("--media-root", default="media")
+    parser.add_argument("--no-worker", action="store_true",
+                        help="external-orchestrator mode: jobs stay PENDING "
+                             "until POST /complete/")
+    args = parser.parse_args()
+
+    store = JobStore(args.db, media_root=args.media_root)
+    if not store.list_models():
+        store.register_model("vit-b16-damage", num_classes=17,
+                             config_name="P16H768A12",
+                             description="ViT-B/16 multiclass damage model")
+    worker = None
+    if not args.no_worker:
+        worker = InferenceWorker(store)
+        worker.start()
+    server, _ = create_server(store, host=args.host, port=args.port,
+                              worker=worker)
+    print(f"serving on {args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    finally:
+        if worker:
+            worker.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Dynamic-batching TPU inference worker.
+
+Replaces the reference's job dispatch — a daemon thread HTTP-POSTing each
+image to an external model server, one request per image, job left PENDING
+forever on failure (reference backend/core/views.py:91-114) — with an
+in-process worker loop:
+
+  claim PENDING jobs atomically (store.claim_pending_jobs)
+    → group by vision model → decode + resize on host
+    → pad the batch to a fixed bucket size (one compiled XLA program per
+      (model, bucket), no shape churn)
+    → jitted forward + argmax on TPU
+    → colorized mask PNG + connected-component detections
+    → DONE (or FAILED with error_message — a transition the reference
+      defines but never exercises, SURVEY.md §5)
+
+Bucketing: batch sizes pad up to the next of BUCKETS; at most one program
+per model config stays hot (the 9-config sweep would otherwise compile 9×N
+programs, SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from visiontransformer_tpu.configs import ViTSegConfig, sweep_by_name
+from visiontransformer_tpu.evaluation.visualize import (
+    class_color_table,
+    colorize,
+)
+from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
+from visiontransformer_tpu.ops.morphology import bounding_boxes_np
+from visiontransformer_tpu.serve.store import JobStore
+
+BUCKETS = (1, 2, 4, 8)
+
+
+class ModelRunner:
+    """One loaded model: params + a single jitted bucketed forward."""
+
+    def __init__(self, model_row: Dict, *, compute_dtype: str = "bfloat16"):
+        entry = sweep_by_name(model_row["config_name"])
+        self.input_size = model_row["input_size"]
+        self.cfg = ViTSegConfig(
+            vit=entry.vit_config(image_size=self.input_size),
+            num_classes=model_row["num_classes"],
+            compute_dtype=compute_dtype)
+        ckpt = model_row.get("checkpoint_path") or ""
+        self.params = self._load_params(ckpt)
+        self.color_table = class_color_table(None, self.cfg.num_classes)
+
+        cfg = self.cfg
+
+        @jax.jit
+        def forward(params, images):
+            logits = vitseg_apply(params, images, cfg, deterministic=True)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        self._forward = forward
+
+    def _load_params(self, ckpt: str):
+        if ckpt and os.path.isdir(ckpt):
+            from visiontransformer_tpu.ckpt.io import restore_checkpoint
+            restored = restore_checkpoint(ckpt)
+            return restored["params"] if "params" in restored else restored
+        if ckpt and ckpt.endswith(".ckpt"):
+            from visiontransformer_tpu.ckpt.torch_convert import (
+                load_lightning_checkpoint)
+            return load_lightning_checkpoint(ckpt, self.cfg)
+        return vitseg_init(jax.random.PRNGKey(0), self.cfg)
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) float32 -> (B, H, W) int32 masks; pads B to bucket."""
+        b = images.shape[0]
+        bucket = next((s for s in BUCKETS if s >= b), BUCKETS[-1])
+        if b < bucket:
+            pad = np.zeros((bucket - b,) + images.shape[1:], images.dtype)
+            images = np.concatenate([images, pad])
+        masks = np.asarray(self._forward(self.params, jnp.asarray(images)))
+        return masks[:b]
+
+
+class InferenceWorker:
+    def __init__(self, store: JobStore, *, poll_interval: float = 0.02,
+                 max_batch: int = BUCKETS[-1],
+                 compute_dtype: str = "bfloat16"):
+        self.store = store
+        self.poll_interval = poll_interval
+        self.max_batch = max_batch
+        self.compute_dtype = compute_dtype
+        self._runners: Dict[int, ModelRunner] = {}
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.processed = 0
+
+    # ----------------------------------------------------------- lifecycle
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="tpu-inference-worker")
+        self._thread.start()
+
+    def stop(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            jobs = self.store.claim_pending_jobs(self.max_batch)
+            if not jobs:
+                self._stop.wait(self.poll_interval)
+                continue
+            for model_id, group in _group_by_model(jobs):
+                self._process_group(model_id, group)
+
+    # ------------------------------------------------------------- compute
+    def _runner(self, model_id: int) -> ModelRunner:
+        if model_id not in self._runners:
+            row = self.store.get_model(model_id)
+            if row is None:
+                raise KeyError(f"unknown vision model {model_id}")
+            self._runners[model_id] = ModelRunner(
+                row, compute_dtype=self.compute_dtype)
+        return self._runners[model_id]
+
+    def _process_group(self, model_id: int, jobs: List[Dict]) -> None:
+        try:
+            runner = self._runner(model_id)
+        except Exception as exc:  # model load failure fails the whole group
+            for job in jobs:
+                self.store.fail_job(job["id"], f"model load error: {exc}")
+            return
+
+        images, valid_jobs = [], []
+        for job in jobs:
+            try:
+                img = Image.open(job["input_image"]).convert("RGB").resize(
+                    (runner.input_size, runner.input_size), Image.BILINEAR)
+                images.append(np.asarray(img, np.float32) / 255.0)
+                valid_jobs.append(job)
+            except Exception as exc:
+                self.store.fail_job(job["id"], f"image decode error: {exc}")
+
+        if not valid_jobs:
+            return
+        try:
+            masks = runner.predict(np.stack(images))
+        except Exception as exc:
+            for job in valid_jobs:
+                self.store.fail_job(job["id"], f"inference error: {exc}")
+            return
+
+        for job, mask in zip(valid_jobs, masks):
+            try:
+                self._finish_job(runner, job, mask)
+            except Exception as exc:
+                self.store.fail_job(job["id"], f"postprocess error: {exc}")
+
+    def _finish_job(self, runner: ModelRunner, job: Dict,
+                    mask: np.ndarray) -> None:
+        mask_dir = os.path.join(self.store.media_root, "masks")
+        os.makedirs(mask_dir, exist_ok=True)
+        mask_path = os.path.join(mask_dir, f"{job['id']}.png")
+        Image.fromarray(colorize(mask, runner.color_table)).save(mask_path)
+
+        detections = []
+        for cls in np.unique(mask):
+            if cls == 0:
+                continue
+            for box in bounding_boxes_np(mask == cls):
+                detections.append({"class_id": int(cls),
+                                   "box_yxyx": [int(v) for v in box]})
+        self.store.complete_job(job["id"], mask_path, json.dumps(detections))
+        self.processed += 1
+
+
+def _group_by_model(jobs: Sequence[Dict]) -> List[Tuple[int, List[Dict]]]:
+    groups: Dict[int, List[Dict]] = {}
+    for job in jobs:
+        groups.setdefault(job["vision_model"], []).append(job)
+    return list(groups.items())
