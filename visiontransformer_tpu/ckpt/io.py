@@ -30,10 +30,7 @@ def save_checkpoint(directory: str, tree: Any, *, epoch: int, step: int) -> str:
 
 def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     with ocp.StandardCheckpointer() as ckptr:
-        if target is not None:
-            return ckptr.restore(os.path.abspath(path),
-                                 ocp.args.StandardRestore(target))
-        return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(os.path.abspath(path), target)
 
 
 def get_latest_checkpoint(directory: str) -> Optional[str]:

@@ -1,0 +1,323 @@
+"""Command-line entry points.
+
+The reference drives everything through nine edit-in-place scripts with
+module-level constants (SURVEY.md §5 "Config/flag system: none";
+reference model/CE/createViTmodel.py, trainCurrentViTmodel.py,
+datasetTestViTmodel.py, testViTModel.py, compareModels.py,
+model/PAED/ViTscript*.py). Here the same surface is one typed CLI:
+
+  python -m visiontransformer_tpu train --task ce --config P16H1024A16 ...
+  python -m visiontransformer_tpu train --task paed_binary --resume ...
+  python -m visiontransformer_tpu eval-sweep --data ... --out test/
+  python -m visiontransformer_tpu demo --image IMG.jpg --configs P16H768A12
+  python -m visiontransformer_tpu compare --dir test/ --out summary.png
+  python -m visiontransformer_tpu serve --port 8000
+  python -m visiontransformer_tpu synth --kind multiclass --out data/
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def _add_data_args(p):
+    p.add_argument("--data", required=True,
+                   help="dataset root containing image_png/ and mask_png/")
+    p.add_argument("--classdict", default=None,
+                   help="calss_names_colors.csv path (default: <data>/...)")
+    p.add_argument("--image-size", type=int, default=224)
+
+
+def _build_parser():
+    parser = argparse.ArgumentParser(
+        prog="visiontransformer_tpu",
+        description="TPU-native ViT segmentation platform")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a segmentation model")
+    _add_data_args(t)
+    t.add_argument("--task", default="ce",
+                   choices=["ce", "smp_multiclass", "paed_multiclass",
+                            "paed_binary"])
+    t.add_argument("--model", default="vitseg", choices=["vitseg", "unet"])
+    t.add_argument("--config", default="P16H1024A16",
+                   help="sweep config name (vitseg) e.g. P16H512A8")
+    t.add_argument("--encoder", default="resnet34",
+                   help="encoder preset (unet)")
+    t.add_argument("--batch-size", type=int, default=4)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--max-epochs", type=int, default=100)
+    t.add_argument("--accumulate", type=int, default=4)
+    t.add_argument("--dtype", default="bfloat16")
+    t.add_argument("--mesh", default=None,
+                   help="dp or dp,tp mesh shape, e.g. 8 or 4,2")
+    t.add_argument("--logs", default="logs")
+    t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--resume", default=None,
+                   help="checkpoint path/dir to resume from")
+    t.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace here")
+    t.add_argument("--no-split", action="store_true",
+                   help="reference-compatible mode: train on the full "
+                        "directory instead of the 70/15/15 split")
+
+    e = sub.add_parser("eval-sweep", help="run the 9-config evaluation sweep")
+    _add_data_args(e)
+    e.add_argument("--out", default="test")
+    e.add_argument("--ckpt-root", default=None)
+    e.add_argument("--batch-size", type=int, default=4)
+    e.add_argument("--num-batches", type=int, default=125)
+    e.add_argument("--configs", default=None,
+                   help="comma-separated subset, e.g. P16H512A8,P8H768A12")
+    e.add_argument("--visualize", action="store_true")
+
+    d = sub.add_parser("demo", help="single-image inference demo")
+    d.add_argument("--image", required=True)
+    d.add_argument("--configs", default="P16H768A12",
+                   help="comma-separated config names")
+    d.add_argument("--classdict", default=None)
+    d.add_argument("--ckpt-root", default=None)
+    d.add_argument("--num-classes", type=int, default=17)
+    d.add_argument("--out", default="demo_out")
+
+    c = sub.add_parser("compare", help="aggregate sweep CSVs into reports")
+    c.add_argument("--dir", required=True)
+    c.add_argument("--out", default="comparison")
+    c.add_argument("--num-classes", type=int, default=17)
+
+    s = sub.add_parser("serve", help="REST serving platform")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--db", default="serving.db")
+    s.add_argument("--media-root", default="media")
+    s.add_argument("--no-worker", action="store_true")
+
+    g = sub.add_parser("synth", help="generate a synthetic dataset")
+    g.add_argument("--kind", choices=["multiclass", "binary"],
+                   default="multiclass")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n", type=int, default=64)
+    g.add_argument("--size", type=int, default=512)
+
+    return parser
+
+
+def _parse_mesh(arg):
+    if not arg:
+        return None
+    return tuple(int(x) for x in arg.split(","))
+
+
+def cmd_train(args) -> int:
+    from visiontransformer_tpu.configs import (
+        CE_TRAIN_DEFAULTS,
+        PAED_TRAIN_DEFAULTS,
+        sweep_by_name,
+    )
+    from visiontransformer_tpu.data import (
+        CESegmentationDataset,
+        PAEDBinaryDataset,
+        train_val_test_split,
+    )
+    from visiontransformer_tpu.train import Trainer
+    from visiontransformer_tpu.utils import CSVLogger
+
+    image_dir = os.path.join(args.data, "image_png")
+    mask_dir = os.path.join(args.data, "mask_png")
+
+    binary = args.task == "paed_binary"
+    ds_cls = PAEDBinaryDataset if binary else CESegmentationDataset
+
+    probe = ds_cls(image_dir, mask_dir, image_size=args.image_size)
+    if args.no_split:
+        train_files = val_files = list(probe.images)
+    else:
+        train_files, val_files, _ = train_val_test_split(probe.images)
+    train_ds = ds_cls(image_dir, mask_dir, image_size=args.image_size,
+                      subset=train_files)
+    val_ds = ds_cls(image_dir, mask_dir, image_size=args.image_size,
+                    subset=val_files)
+
+    num_classes = 1 if binary else probe.num_classes
+    if args.model == "vitseg":
+        entry = sweep_by_name(args.config)
+        seg_cfg = entry.seg_config(num_classes=num_classes,
+                                   compute_dtype=args.dtype)
+        seg_cfg = dataclasses.replace(
+            seg_cfg, vit=dataclasses.replace(seg_cfg.vit,
+                                             image_size=args.image_size))
+    else:
+        from visiontransformer_tpu.models.unet import UNetConfig
+        seg_cfg = UNetConfig(encoder_name=args.encoder,
+                             num_classes=num_classes,
+                             compute_dtype=args.dtype)
+
+    base = PAED_TRAIN_DEFAULTS if binary else CE_TRAIN_DEFAULTS
+    tcfg = dataclasses.replace(
+        base,
+        batch_size=args.batch_size,
+        max_epochs=args.max_epochs,
+        accumulate_grad_batches=args.accumulate,
+        mesh_shape=_parse_mesh(args.mesh),
+        **({"learning_rate": args.lr} if args.lr else {}))
+
+    logger = CSVLogger(args.logs)
+    trainer = Trainer(seg_cfg, tcfg, task=args.task, model=args.model,
+                      logger=logger)
+    ckpt_dir = args.ckpt_dir or os.path.join(logger.log_dir, "checkpoints")
+
+    def report(epoch, metrics):
+        line = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+        print(f"epoch {epoch}: {line}", flush=True)
+
+    trainer.fit(train_ds, val_dataset=val_ds, checkpoint_dir=ckpt_dir,
+                resume_from=args.resume, profile_dir=args.profile_dir,
+                on_epoch_end=report)
+    print(f"logs: {logger.path}\ncheckpoints: {ckpt_dir}")
+    return 0
+
+
+def cmd_eval_sweep(args) -> int:
+    from visiontransformer_tpu.configs import SWEEP_CONFIGS, sweep_by_name
+    from visiontransformer_tpu.data import (
+        CESegmentationDataset,
+        load_classdict,
+        train_val_test_split,
+    )
+    from visiontransformer_tpu.evaluation import run_sweep
+
+    image_dir = os.path.join(args.data, "image_png")
+    mask_dir = os.path.join(args.data, "mask_png")
+    probe = CESegmentationDataset(image_dir, mask_dir,
+                                  image_size=args.image_size)
+    _, _, test_files = train_val_test_split(probe.images)
+    test_ds = CESegmentationDataset(image_dir, mask_dir,
+                                    image_size=args.image_size,
+                                    subset=test_files)
+
+    class_names = rgb_to_class = None
+    classdict = args.classdict or os.path.join(args.data,
+                                               "calss_names_colors.csv")
+    if os.path.exists(classdict):
+        rgb_to_class, class_names = load_classdict(classdict)
+
+    entries = SWEEP_CONFIGS
+    if args.configs:
+        entries = [sweep_by_name(n) for n in args.configs.split(",")]
+
+    paths = run_sweep(test_ds, output_dir=args.out,
+                      num_classes=probe.num_classes,
+                      checkpoint_root=args.ckpt_root, entries=entries,
+                      batch_size=args.batch_size,
+                      num_batches=args.num_batches,
+                      image_size=args.image_size,
+                      save_visualizations=args.visualize,
+                      class_names=class_names, rgb_to_class=rgb_to_class)
+    for p in paths:
+        print(p)
+    return 0
+
+
+def cmd_demo(args) -> int:
+    import jax
+
+    from visiontransformer_tpu.configs import sweep_by_name
+    from visiontransformer_tpu.data import load_classdict
+    from visiontransformer_tpu.evaluation.demo import (
+        load_image,
+        predict_image,
+        render_demo_composite,
+    )
+    from visiontransformer_tpu.models.vitseg import vitseg_init
+
+    class_names = rgb_to_class = None
+    if args.classdict and os.path.exists(args.classdict):
+        rgb_to_class, class_names = load_classdict(args.classdict)
+
+    os.makedirs(args.out, exist_ok=True)
+    image = load_image(args.image)
+    for name in args.configs.split(","):
+        entry = sweep_by_name(name)
+        cfg = entry.seg_config(num_classes=args.num_classes,
+                               compute_dtype="bfloat16")
+        params = vitseg_init(jax.random.PRNGKey(entry.id), cfg)
+        if args.ckpt_root:
+            from visiontransformer_tpu.ckpt.io import (
+                get_latest_checkpoint,
+                restore_checkpoint,
+            )
+            latest = get_latest_checkpoint(os.path.join(args.ckpt_root, name))
+            if latest:
+                params = restore_checkpoint(
+                    latest, {"params": params})["params"]
+        result = predict_image(params, cfg, image, class_names=class_names,
+                               rgb_to_class=rgb_to_class)
+        out_path = os.path.join(args.out, f"demo_{name}.png")
+        render_demo_composite(image, result, out_path,
+                              class_names=class_names,
+                              rgb_to_class=rgb_to_class, title=name)
+        print(f"{name}: classes={result['classes']} "
+              f"detections={len(result['detections'])} -> {out_path}")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    import os
+
+    from visiontransformer_tpu.evaluation.compare import (
+        plot_confusion_matrices,
+        plot_summary,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    summary = plot_summary(args.dir, os.path.join(args.out, "summary.png"))
+    print(summary.to_string())
+    plot_confusion_matrices(args.dir, args.out, num_classes=args.num_classes)
+    print(f"reports in {args.out}/")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from visiontransformer_tpu.serve.server import main as serve_main
+
+    sys.argv = ["serve", "--host", args.host, "--port", str(args.port),
+                "--db", args.db, "--media-root", args.media_root] + (
+                    ["--no-worker"] if args.no_worker else [])
+    serve_main()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from visiontransformer_tpu.data.synthetic import (
+        generate_binary,
+        generate_multiclass,
+    )
+
+    if args.kind == "multiclass":
+        generate_multiclass(args.out, n_samples=args.n, image_size=args.size)
+    else:
+        generate_binary(args.out, n_samples=args.n, image_size=args.size)
+    print(args.out)
+    return 0
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "eval-sweep": cmd_eval_sweep,
+    "demo": cmd_demo,
+    "compare": cmd_compare,
+    "serve": cmd_serve,
+    "synth": cmd_synth,
+}
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    return COMMANDS[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

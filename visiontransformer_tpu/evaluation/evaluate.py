@@ -138,7 +138,7 @@ def run_sweep(dataset, *, output_dir: str, num_classes: int,
               checkpoint_root: Optional[str] = None,
               entries: Iterable[SweepEntry] = SWEEP_CONFIGS,
               batch_size: int = 4, num_batches: int = 125,
-              compute_dtype: str = "bfloat16",
+              compute_dtype: str = "bfloat16", image_size: int = 224,
               **eval_kwargs) -> List[str]:
     """Run the full 9-config sweep. For each entry, restores the latest
     checkpoint from `<checkpoint_root>/<name>/` when present, else evaluates
@@ -149,10 +149,14 @@ def run_sweep(dataset, *, output_dir: str, num_classes: int,
     )
     from visiontransformer_tpu.models.vitseg import vitseg_init
 
+    import dataclasses
+
     paths = []
     for entry in entries:
         cfg = entry.seg_config(num_classes=num_classes,
                                compute_dtype=compute_dtype)
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, image_size=image_size))
         params = vitseg_init(jax.random.PRNGKey(entry.id), cfg)
         if checkpoint_root:
             latest = get_latest_checkpoint(

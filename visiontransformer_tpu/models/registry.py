@@ -1,0 +1,36 @@
+"""Model family registry: name -> (init, apply, config type).
+
+Two families, matching the reference's capability surface:
+- "vitseg" — ViT backbone + conv head (the primary network,
+  reference model/CE/classes.py:221-262);
+- "unet"   — encoder-decoder conv net (the smp alternate,
+  reference model/CE/classes.py:105-219).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+from visiontransformer_tpu.configs import ViTSegConfig
+from visiontransformer_tpu.models.unet import UNetConfig, unet_apply, unet_init
+from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
+
+
+class ModelFamily(NamedTuple):
+    init: Callable
+    apply: Callable
+    config_cls: type
+
+
+MODEL_FAMILIES = {
+    "vitseg": ModelFamily(vitseg_init, vitseg_apply, ViTSegConfig),
+    "unet": ModelFamily(unet_init, unet_apply, UNetConfig),
+}
+
+
+def get_model_family(name: str) -> ModelFamily:
+    try:
+        return MODEL_FAMILIES[name]
+    except KeyError:
+        raise KeyError(f"unknown model family {name!r}; "
+                       f"known: {sorted(MODEL_FAMILIES)}")

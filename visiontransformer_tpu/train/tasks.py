@@ -38,6 +38,11 @@ from visiontransformer_tpu.metrics.segmentation import (
     recall_binary,
     soft_iou_score,
 )
+from visiontransformer_tpu.metrics.segmentation import (
+    multiclass_confusion_stats,
+    smp_iou_micro,
+    smp_iou_micro_imagewise,
+)
 from visiontransformer_tpu.models.vitseg import vitseg_apply
 from visiontransformer_tpu.ops.resize import resize_nearest_torch
 
@@ -49,28 +54,66 @@ def _resize_target(y: jnp.ndarray, size: int) -> jnp.ndarray:
     return resize_nearest_torch(y, (size, size))
 
 
-def ce_loss_fn(params, batch, cfg: ViTSegConfig, *,
-               rng: Optional[jax.Array] = None, deterministic: bool = False):
+def ce_loss_fn(params, batch, cfg, *,
+               rng: Optional[jax.Array] = None, deterministic: bool = False,
+               apply_fn=vitseg_apply):
     """Multiclass CE training step body. batch: images (B,H,W,3) float,
     masks (B,Hm,Wm) int32 class indices."""
     images, masks = batch["image"], batch["mask"]
-    target = _resize_target(masks, cfg.vit.image_size)
-    logits = vitseg_apply(params, images, cfg, deterministic=deterministic,
-                          rng=rng)
+    target = _resize_target(masks, images.shape[1])
+    logits = apply_fn(params, images, cfg, deterministic=deterministic,
+                      rng=rng)
     loss = cross_entropy_loss(logits, target)
     return loss, {"loss": loss}
 
 
-def paed_multiclass_loss_fn(params, batch, cfg: ViTSegConfig, *,
+def smp_multiclass_loss_fn(params, batch, cfg, *,
+                           rng: Optional[jax.Array] = None,
+                           deterministic: bool = False,
+                           apply_fn=vitseg_apply):
+    """CE loss + smp-style aggregate metrics — the StructuralDamageModel
+    training contract (reference model/CE/classes.py:133-198): per-step
+    tp/fp/fn/tn -> micro / micro-imagewise IoU, accuracy, recall, F1."""
+    images, masks = batch["image"], batch["mask"]
+    target = _resize_target(masks, images.shape[1])
+    logits = apply_fn(params, images, cfg, deterministic=deterministic,
+                      rng=rng)
+    loss = cross_entropy_loss(logits, target)
+    preds = jnp.argmax(logits, axis=-1)
+    tp, fp, fn, tn = multiclass_confusion_stats(preds, target,
+                                                cfg.num_classes)
+    tp_s = jnp.sum(tp).astype(jnp.float32)
+    fp_s = jnp.sum(fp).astype(jnp.float32)
+    fn_s = jnp.sum(fn).astype(jnp.float32)
+    tn_s = jnp.sum(tn).astype(jnp.float32)
+    total = tp_s + fp_s + fn_s + tn_s
+    accuracy = (tp_s + tn_s) / total
+    recall = jnp.where(tp_s + fn_s > 0, tp_s / jnp.maximum(tp_s + fn_s, 1), 0.0)
+    precision = jnp.where(tp_s + fp_s > 0, tp_s / jnp.maximum(tp_s + fp_s, 1), 0.0)
+    f1 = jnp.where(precision + recall > 0,
+                   2 * precision * recall / jnp.maximum(precision + recall, 1e-12),
+                   0.0)
+    return loss, {
+        "loss": loss,
+        "per_image_iou": smp_iou_micro_imagewise(tp, fp, fn, tn),
+        "dataset_iou": smp_iou_micro(tp, fp, fn, tn),
+        "accuracy": accuracy,
+        "recall": recall,
+        "f1_score": f1,
+    }
+
+
+def paed_multiclass_loss_fn(params, batch, cfg, *,
                             rng: Optional[jax.Array] = None,
-                            deterministic: bool = False):
+                            deterministic: bool = False,
+                            apply_fn=vitseg_apply):
     """Multiclass PAED flavor: softmax probs vs one-hot target under the
     Gaussian-smoothed PAED loss, plus the monitoring IoU
     (reference model/PAED/classes.py:448-467)."""
     images, masks = batch["image"], batch["mask"]
-    target = _resize_target(masks, cfg.vit.image_size)
-    logits = vitseg_apply(params, images, cfg, deterministic=deterministic,
-                          rng=rng)
+    target = _resize_target(masks, images.shape[1])
+    logits = apply_fn(params, images, cfg, deterministic=deterministic,
+                      rng=rng)
     probs = jax.nn.softmax(logits, axis=-1)
     preds = jnp.argmax(probs, axis=-1)
     one_hot = jax.nn.one_hot(target, cfg.num_classes, dtype=jnp.float32)
@@ -79,13 +122,14 @@ def paed_multiclass_loss_fn(params, batch, cfg: ViTSegConfig, *,
     return loss, {"loss": loss, "iou": iou}
 
 
-def paed_binary_loss_fn(params, batch, cfg: ViTSegConfig, *,
+def paed_binary_loss_fn(params, batch, cfg, *,
                         rng: Optional[jax.Array] = None,
-                        deterministic: bool = False):
+                        deterministic: bool = False,
+                        apply_fn=vitseg_apply):
     """Binary crack task: BCE + 0.1·dice + 5·|paed| with on-device SDFs.
     batch: images (B,H,W,3), masks (B,H,W) binary float."""
     images, masks = batch["image"], batch["mask"]
-    masks = _resize_target(masks, cfg.vit.image_size)
+    masks = _resize_target(masks, images.shape[1])
 
     # SDF targets on-device (stop_gradient: they are targets, and the
     # reference detaches them too, model/PAED/classes.py:569-570).
@@ -93,8 +137,8 @@ def paed_binary_loss_fn(params, batch, cfg: ViTSegConfig, *,
     sdf_ext = jax.lax.stop_gradient(sdf_ext)
     sdf_int = jax.lax.stop_gradient(sdf_int)
 
-    logits = vitseg_apply(params, images, cfg, deterministic=deterministic,
-                          rng=rng)  # (B, H, W, 1)
+    logits = apply_fn(params, images, cfg, deterministic=deterministic,
+                      rng=rng)  # (B, H, W, 1)
     preds = jax.nn.sigmoid(logits)
 
     masks4 = masks[..., None].astype(jnp.float32)
@@ -118,6 +162,7 @@ def paed_binary_loss_fn(params, batch, cfg: ViTSegConfig, *,
 
 TASKS = {
     "ce": ce_loss_fn,
+    "smp_multiclass": smp_multiclass_loss_fn,
     "paed_multiclass": paed_multiclass_loss_fn,
     "paed_binary": paed_binary_loss_fn,
 }

@@ -43,13 +43,19 @@ from visiontransformer_tpu.utils.csvlog import CSVLogger
 
 
 class Trainer:
-    def __init__(self, seg_cfg: ViTSegConfig, train_cfg: TrainConfig,
-                 task: str = "ce", *, mesh=None, use_mesh: bool = True,
-                 logger: Optional[CSVLogger] = None):
+    def __init__(self, seg_cfg, train_cfg: TrainConfig,
+                 task: str = "ce", *, model: str = "vitseg", mesh=None,
+                 use_mesh: bool = True, logger: Optional[CSVLogger] = None):
+        from functools import partial
+
+        from visiontransformer_tpu.models.registry import get_model_family
+
         self.seg_cfg = seg_cfg
         self.train_cfg = train_cfg
         self.task_name = task
-        self.task_fn = get_task(task)
+        self.model_family = get_model_family(model)
+        self.task_fn = partial(get_task(task),
+                               apply_fn=self.model_family.apply)
         self.optimizer = build_optimizer(train_cfg)
         self.logger = logger
 
@@ -70,11 +76,9 @@ class Trainer:
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
-        from visiontransformer_tpu.models.vitseg import vitseg_init
-
         if rng is None:
             rng = jax.random.PRNGKey(self.train_cfg.seed)
-        params = vitseg_init(rng, self.seg_cfg)
+        params = self.model_family.init(rng, self.seg_cfg)
         if self.mesh is not None:
             # Shard params first; optimizer moments initialized from sharded
             # params inherit the same placement, scalars replicate.
@@ -143,14 +147,41 @@ class Trainer:
             state: Optional[TrainState] = None,
             max_epochs: Optional[int] = None,
             checkpoint_dir: Optional[str] = None,
+            resume_from: Optional[str] = None,
+            profile_dir: Optional[str] = None,
             on_epoch_end: Optional[Callable[[int, Dict[str, float]], None]] = None
             ) -> TrainState:
+        """Train. resume_from: an Orbax checkpoint path (or a directory of
+        epoch=N-step=M checkpoints, latest picked) — the Trainer-native
+        replacement for Lightning's fit(ckpt_path=...) resume
+        (reference model/CE/trainCurrentViTmodel.py:67-73). profile_dir:
+        capture a jax.profiler trace of epoch 0 steps 2-6 for TensorBoard."""
         cfg = self.train_cfg
         max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         checkpoint_dir = checkpoint_dir or cfg.checkpoint_dir
 
+        start_epoch = 0
         if state is None:
             state = self.init_state()
+        if resume_from:
+            import os as _os
+
+            from visiontransformer_tpu.ckpt.io import (
+                get_latest_checkpoint,
+                parse_epoch,
+                restore_checkpoint,
+            )
+            path = resume_from
+            if _os.path.isdir(path) and get_latest_checkpoint(path):
+                path = get_latest_checkpoint(path)
+            restored = restore_checkpoint(
+                path, {"params": state.params,
+                       "step": np.zeros((), np.int32)})
+            state = TrainState(params=restored["params"],
+                               opt_state=state.opt_state,
+                               step=jnp.asarray(restored["step"]))
+            ckpt_epoch = parse_epoch(path)
+            start_epoch = (ckpt_epoch + 1) if ckpt_epoch is not None else 0
 
         root_rng = jax.random.PRNGKey(cfg.seed)
 
@@ -166,17 +197,22 @@ class Trainer:
                                        patience=cfg.plateau_patience)
 
         global_step = int(state.step)
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             # ---- train ----
             t0 = time.time()
             train_metrics = []
             for batch in batch_iterator(train_dataset, cfg.batch_size,
                                         shuffle=True, seed=cfg.seed,
                                         epoch=epoch):
+                if profile_dir and epoch == start_epoch and global_step == 2:
+                    jax.profiler.start_trace(profile_dir)
                 rng = jax.random.fold_in(root_rng, global_step)
                 state, metrics = self.train_step(state, batch, rng)
                 train_metrics.append(metrics)
                 global_step += 1
+                if profile_dir and epoch == start_epoch and global_step == 6:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
                 if self.logger and global_step % cfg.log_every_n_steps == 0:
                     self.logger.log(
                         {f"train_{k}_step": float(v) for k, v in metrics.items()},
