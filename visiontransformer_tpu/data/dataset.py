@@ -92,9 +92,14 @@ class CESegmentationDataset:
             self.build_class_mapping()
         image = _load_image(os.path.join(self.image_dir, self.images[idx]),
                             self.image_size)
-        mask = Image.open(os.path.join(self.mask_dir, self.masks[idx])).convert("L")
-        mask = mask.resize((self.mask_size, self.mask_size), Image.NEAREST)
-        mask_idx = self._lut[np.asarray(mask, dtype=np.int64)]
+        mask = np.asarray(Image.open(
+            os.path.join(self.mask_dir, self.masks[idx])).convert("L"))
+        # PIL-exact nearest resize + LUT remap via the C++ runtime when built
+        # (visiontransformer_tpu/native), numpy/PIL otherwise.
+        from visiontransformer_tpu import native
+        mask = native.resize_nearest_pil_u8(mask,
+                                            (self.mask_size, self.mask_size))
+        mask_idx = native.remap_u8(mask, self._lut)
         return image, mask_idx.astype(np.int32)
 
 

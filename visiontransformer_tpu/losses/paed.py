@@ -141,14 +141,14 @@ def paed_loss_hard(pred_probs: np.ndarray, sdf_ext: np.ndarray,
     round-trips through skimage per image, so there is nothing to
     differentiate. pred_probs: (B, H, W); sdf_*: (B, Hs, Ws).
     """
-    from visiontransformer_tpu.ops.morphology import skeletonize_np
+    from visiontransformer_tpu import native
 
     b = pred_probs.shape[0]
     h, w = pred_probs.shape[1:3]
     total = 0.0
     for i in range(b):
         pred_bin = (pred_probs[i] > threshold).astype(np.float32)
-        skel = skeletonize_np(pred_bin > 0.5).astype(np.float32)
+        skel = native.skeletonize(pred_bin > 0.5).astype(np.float32)
         ext = np.asarray(resize_bilinear(jnp.asarray(sdf_ext[i]), (h, w)))
         interior = np.asarray(resize_bilinear(jnp.asarray(sdf_int[i]), (h, w)))
         total += float(np.sum(ext * skel - interior * pred_bin))

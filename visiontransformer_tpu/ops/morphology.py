@@ -113,7 +113,13 @@ def connected_components_np(mask: np.ndarray) -> Tuple[np.ndarray, int]:
 
 def bounding_boxes_np(binary_mask: np.ndarray) -> List[Tuple[int, int, int, int]]:
     """Per-connected-region (y_min, x_min, y_max, x_max) boxes
-    (reference model/CE/datasetTestViTmodel.py:27-35)."""
+    (reference model/CE/datasetTestViTmodel.py:27-35).
+
+    Dispatch order: first-party C++ (native/vitseg_native.cpp) when built,
+    then scipy, then the pure-Python union-find."""
+    from visiontransformer_tpu import native
+    if native.available():
+        return native.bounding_boxes(binary_mask)
     try:
         from scipy.ndimage import label as scipy_label
         labeled, num = scipy_label(np.asarray(binary_mask) > 0)
