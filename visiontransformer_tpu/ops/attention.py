@@ -55,7 +55,7 @@ def multi_head_attention(q, k, v, *, implementation: str = "auto",
         # 1025 where 512-block padding bites). The XLA path also carries
         # attention-probs dropout, which the flash kernel does not.
         use_flash = ((deterministic or dropout_rate == 0.0) and _on_tpu()
-                     and q.shape[-2] >= 1536 and _flash_available())
+                     and q.shape[-2] >= 1024 and _flash_available())
         implementation = "flash" if use_flash else "xla"
 
     if implementation == "flash":

@@ -32,10 +32,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
+_MAX_UNROLL = 8
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _maybe_unrolled(num_steps: int, body, init):
+    """Static unroll for short loops (pipelining), fori_loop otherwise."""
+    if num_steps <= _MAX_UNROLL:
+        carry = init
+        for i in range(num_steps):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, num_steps, body, init)
 
 
 # ---------------------------------------------------------------------------
@@ -44,15 +55,17 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                 scale: float, seq_len: int, block_k: int):
-    q = q_ref[0].astype(jnp.float32)          # (block_q, d)
+    # Inputs stay in their storage dtype (bf16) so the MXU runs at full
+    # bf16 rate; only accumulation and the softmax state are fp32.
+    q = q_ref[0]                               # (block_q, d)
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
     block_q, d = q.shape
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col = i * block_k + jax.lax.broadcasted_iota(
@@ -64,23 +77,55 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return acc, m_new, l
 
     acc = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    # Static unroll lets Mosaic software-pipeline MXU and VPU work across
+    # chunks (measured ~15% over fori_loop at N=1025); cap the unroll so
+    # P4-scale sequences don't blow up compile time.
+    if num_kb <= _MAX_UNROLL:
+        carry = (acc, m0, l0)
+        for i in range(num_kb):
+            carry = body(i, carry)
+        acc, m, l = carry
+    else:
+        acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
 
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
 
 
-def _fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool):
+# Measured-on-v5e tile choices per padded length (chained-iteration timing;
+# see git history for the tuning runs). Key: n_pad at 128 granularity ->
+# (block_q, block_k). Anything else falls back to 512-blocks at 512-pad.
+_TUNED_BLOCKS = {
+    256: (256, 256),      # N=197  (224px, P16)
+    1152: (384, 1152),    # N=1025 (512px, P16): 3.2ms vs 4.8 XLA @ bh192
+    3200: (640, 640),     # N=3137 (224px, P4)
+}
+
+
+def choose_blocks(n: int):
+    """(block_q, block_k, n_pad) for a sequence length."""
+    n_pad = _round_up(n, 128)
+    if n_pad in _TUNED_BLOCKS:
+        bq, bk = _TUNED_BLOCKS[n_pad]
+        return bq, bk, n_pad
+    n_pad = _round_up(n, 512)
+    return min(512, n_pad), min(512, n_pad), n_pad
+
+
+def _fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool,
+         n_pad: Optional[int] = None):
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
-    n_pad = _round_up(n, max(block_q, block_k))
+    if n_pad is None:
+        n_pad = _round_up(n, max(block_q, block_k))
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
 
@@ -120,16 +165,16 @@ def _fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                    scale: float, seq_len: int, block_k: int):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
     block_q, d = q.shape
     n_pad = k_ref.shape[1]
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col = i * block_k + jax.lax.broadcasted_iota(
@@ -137,21 +182,21 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         p = jnp.where(col < seq_len, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
     dq = jnp.zeros((block_q, d), jnp.float32)
-    dq = jax.lax.fori_loop(0, n_pad // block_k, body, dq)
+    dq = _maybe_unrolled(n_pad // block_k, body, dq)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale: float, seq_len: int,
                     block_q: int):
-    k = k_ref[0].astype(jnp.float32)          # (block_k, d)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]                              # (block_k, d)
+    v = v_ref[0]
     block_k, d = k.shape
     n_pad = q_ref.shape[1]
     kb = pl.program_id(1)
@@ -161,36 +206,38 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse)                  # (block_q, block_k)
+        p = jnp.exp(s - lse)                  # (block_q, block_k) fp32
         # Padded q rows have lse=0 and garbage s; their do is zero, so they
         # contribute nothing to dv; for dk they enter via ds — zero there too.
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        p_lo = p.astype(do.dtype)
+        dv = dv + jax.lax.dot_general(p_lo, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32) * scale
         return dk, dv
 
     dk = jnp.zeros((block_k, d), jnp.float32)
     dv = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_pad // block_q, body, (dk, dv))
+    dk, dv = _maybe_unrolled(n_pad // block_q, body, (dk, dv))
     dk_ref[0] = jnp.where(key_valid, dk, 0.0).astype(dk_ref.dtype)
     dv_ref[0] = jnp.where(key_valid, dv, 0.0).astype(dv_ref.dtype)
 
 
-def _bwd(block_q, block_k, interpret, res, g):
+def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None):
     q, k, v, out, lse = res
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
-    n_pad = _round_up(n, max(block_q, block_k))
+    if n_pad is None:
+        n_pad = _round_up(n, max(block_q, block_k))
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
@@ -237,21 +284,24 @@ def _bwd(block_q, block_k, interpret, res, g):
 # public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
-    out, _ = _fwd(q, k, v, block_q=block_q, block_k=block_k,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bhnd(q, k, v, block_q: int, block_k: int, n_pad: int,
+                interpret: bool):
+    out, _ = _fwd(q, k, v, block_q=block_q, block_k=block_k, n_pad=n_pad,
                   interpret=interpret)
     return out
 
 
-def _flash_fwd_rule(q, k, v, block_q, block_k, interpret):
-    out, lse = _fwd(q, k, v, block_q=block_q, block_k=block_k,
+def _flash_fwd_rule(q, k, v, block_q, block_k, n_pad, interpret):
+    out, lse = _fwd(q, k, v, block_q=block_q, block_k=block_k, n_pad=n_pad,
                     interpret=interpret)
     return out, (q, k, v, out, lse)
 
 
-_flash_bhnd.defvjp(_flash_fwd_rule,
-                   lambda bq, bk, interp, res, g: _bwd(bq, bk, interp, res, g))
+_flash_bhnd.defvjp(
+    _flash_fwd_rule,
+    lambda bq, bk, n_pad, interp, res, g: _bwd(bq, bk, interp, res, g,
+                                               n_pad=n_pad))
 
 
 def flash_attention(q, k, v, *, block_q: Optional[int] = None,
@@ -267,11 +317,15 @@ def flash_attention(q, k, v, *, block_q: Optional[int] = None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, n, d = q.shape
-    if block_q is None:
-        block_q = min(512, _round_up(n, 128))
-    if block_k is None:
-        block_k = min(512, _round_up(n, 128))
+    if block_q is None or block_k is None:
+        auto_q, auto_k, n_pad = choose_blocks(n)
+        block_q = block_q or auto_q
+        block_k = block_k or auto_k
+        if n_pad % block_q or n_pad % block_k:
+            n_pad = _round_up(n, max(block_q, block_k))
+    else:
+        n_pad = _round_up(n, max(block_q, block_k))
     merge = lambda x: x.reshape(b * h, n, d)
-    out = _flash_bhnd(merge(q), merge(k), merge(v), block_q, block_k,
+    out = _flash_bhnd(merge(q), merge(k), merge(v), block_q, block_k, n_pad,
                       interpret)
     return out.reshape(b, h, n, d)
