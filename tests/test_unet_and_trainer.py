@@ -97,3 +97,33 @@ def test_trainer_unet_family_and_resume(rng, tmp_path):
                                    "step": np.zeros((), np.int32)})
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["head"]["kernel"]), p_saved)
+
+
+def test_vit_remat_grads_match(rng):
+    """jax.checkpoint'd encoder must give identical grads to the plain one."""
+    import dataclasses
+
+    from visiontransformer_tpu.configs import ViTConfig, ViTSegConfig
+    from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
+
+    base_vit = ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=64)
+    cfg = ViTSegConfig(vit=base_vit, num_classes=3)
+    cfg_remat = dataclasses.replace(
+        cfg, vit=dataclasses.replace(base_vit, remat=True))
+
+    import jax
+    import jax.numpy as jnp
+    params = vitseg_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+
+    def loss(p, c):
+        return jnp.mean(vitseg_apply(p, x, c, deterministic=True,
+                                     attn_impl="xla") ** 2)
+
+    g_plain = jax.grad(lambda p: loss(p, cfg))(params)
+    g_remat = jax.grad(lambda p: loss(p, cfg_remat))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

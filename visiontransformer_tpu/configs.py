@@ -38,6 +38,10 @@ class ViTConfig:
     attention_probs_dropout_prob: float = 0.1
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
+    # Rematerialize each encoder block on the backward pass (jax.checkpoint):
+    # trades ~30% extra forward FLOPs for O(layers) -> O(1) activation
+    # memory, the standard TPU recipe for large batches / long sequences.
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:

@@ -134,9 +134,20 @@ def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
         r_embed = None
     x = dropout(r_embed, x, cfg.hidden_dropout_prob, deterministic=deterministic)
 
+    layer_fn = _encoder_layer
+    if cfg.remat:
+        layer_fn = jax.checkpoint(
+            lambda p, x, r: _encoder_layer(p, x, cfg,
+                                           deterministic=deterministic,
+                                           rng=r, attn_impl=attn_impl),
+            static_argnums=())
     for i, layer_params in enumerate(params["layers"]):
         layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
-        x = _encoder_layer(layer_params, x, cfg, deterministic=deterministic,
-                           rng=layer_rng, attn_impl=attn_impl)
+        if cfg.remat:
+            x = layer_fn(layer_params, x, layer_rng)
+        else:
+            x = _encoder_layer(layer_params, x, cfg,
+                               deterministic=deterministic,
+                               rng=layer_rng, attn_impl=attn_impl)
 
     return layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
