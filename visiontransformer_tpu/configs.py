@@ -139,17 +139,26 @@ class TrainConfig:
     """Training hyperparameters.
 
     Defaults mirror the CE driver (reference model/CE/createViTmodel.py:57-77):
-    batch 4, Adam lr=1e-5, accumulate_grad_batches=4, max_epochs=100,
-    EarlyStopping(valid_loss, patience=3). The PAED binary trainer overrides
+    Adam lr=1e-5, max_epochs=100, EarlyStopping(valid_loss, patience=3).
+    The reference runs loader batch 4 with accumulate_grad_batches=4
+    (effective optimizer batch 16); here ``batch_size`` is the effective
+    optimizer batch and ``accumulate_grad_batches`` the number of
+    micro-batches it is scanned in — batch_size=16, accumulate=4 reproduces
+    the reference's schedule exactly. The PAED binary trainer overrides
     (reference model/PAED/classes.py:536-548): AdamW lr=1e-4 +
     ReduceLROnPlateau(patience=30) monitoring val_IoU.
     """
 
-    batch_size: int = 4
+    batch_size: int = 16
     learning_rate: float = 1e-5
     optimizer: str = "adam"  # "adam" | "adamw"
     weight_decay: float = 0.01  # torch AdamW default, used when optimizer="adamw"
     accumulate_grad_batches: int = 4
+    # Rematerialize ViT blocks during training (see ViTConfig.remat).
+    # Default off: micro-batch accumulation already bounds activation
+    # memory, and jax.checkpoint measured a pathological slowdown on the
+    # current remote-PJRT runtime (use for very large micro-batches only).
+    remat: bool = False
     max_epochs: int = 100
     early_stopping_monitor: Optional[str] = "valid_loss"
     early_stopping_patience: int = 3

@@ -26,27 +26,23 @@ from visiontransformer_tpu.configs import TrainConfig
 
 
 def build_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Gradient accumulation is NOT handled here: optax.MultiSteps carries
+    the accumulator through a lax.cond over the full optimizer state, which
+    measured catastrophically on v5e at 0.33B params (HBM copies/spill).
+    The Trainer instead scans micro-batches inside the train step
+    (train/trainer.py) — same averaged-gradient semantics as Lightning's
+    accumulate_grad_batches (reference model/CE/createViTmodel.py:74)."""
     if cfg.optimizer == "adam":
-        opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
-    elif cfg.optimizer == "adamw":
-        opt = optax.inject_hyperparams(optax.adamw)(
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.learning_rate)
+    if cfg.optimizer == "adamw":
+        return optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
-    else:
-        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-
-    if cfg.accumulate_grad_batches > 1:
-        # Gradient accumulation ×k — the TPU equivalent of Lightning's
-        # accumulate_grad_batches=4 (reference model/CE/createViTmodel.py:74).
-        opt = optax.MultiSteps(opt, every_k_schedule=cfg.accumulate_grad_batches)
-    return opt
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
 def set_learning_rate(opt_state, learning_rate: float):
-    """Update the injected learning rate inside (possibly MultiSteps-wrapped)
-    optimizer state without recompiling anything."""
-    if isinstance(opt_state, optax.MultiStepsState):
-        inner = set_learning_rate(opt_state.inner_opt_state, learning_rate)
-        return opt_state._replace(inner_opt_state=inner)
+    """Update the injected learning rate without recompiling anything."""
     if hasattr(opt_state, "hyperparams"):
         import jax.numpy as jnp
         old = opt_state.hyperparams["learning_rate"]
