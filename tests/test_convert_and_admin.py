@@ -1,0 +1,119 @@
+"""Checkpoint conversion CLI round-trip, admin page, binary eval sweep."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visiontransformer_tpu.configs import SweepEntry, ViTConfig, ViTSegConfig
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def test_convert_cli_roundtrip(tmp_path, rng):
+    """Build the reference torch network, save a Lightning-style .ckpt,
+    convert via the CLI, restore via Orbax, compare logits."""
+    from tests.test_model_parity import CFG, _TorchViTSeg, _hf_backbone
+    from visiontransformer_tpu.ckpt.io import restore_checkpoint
+    from visiontransformer_tpu.models.vitseg import (
+        vitseg_init,
+        vitseg_logits_nchw,
+    )
+
+    tm = _TorchViTSeg(_hf_backbone(), 5).eval()
+    # Lightning checkpoints prefix the module as "model." (reference
+    # testViTModel.py loads ckpt['state_dict'] with those keys).
+    state_dict = {"model." + k.replace("seg_head.", "seg_head.")
+                  .replace("backbone.", "backbone."): v
+                  for k, v in tm.state_dict().items()}
+    ckpt_path = str(tmp_path / "epoch=3-step=100.ckpt")
+    torch.save({"state_dict": state_dict, "epoch": 3}, ckpt_path)
+
+    # The CLI's sweep configs are fixed shapes; call the underlying pieces
+    # with the tiny test config instead (same code path as cmd_convert).
+    from visiontransformer_tpu.ckpt.io import save_checkpoint
+    from visiontransformer_tpu.ckpt.torch_convert import (
+        load_lightning_checkpoint,
+    )
+
+    seg_cfg = ViTSegConfig(vit=CFG, num_classes=5)
+    params = load_lightning_checkpoint(ckpt_path, seg_cfg)
+    out_dir = str(tmp_path / "orbax")
+    save_checkpoint(out_dir, {"params": params, "step": np.asarray(100)},
+                    epoch=3, step=100)
+
+    template = vitseg_init(jax.random.PRNGKey(0), seg_cfg)
+    restored = restore_checkpoint(
+        os.path.join(out_dir, "epoch=3-step=100"),
+        {"params": template, "step": np.zeros((), np.int64)})
+
+    x = rng.standard_normal((1, 3, CFG.image_size, CFG.image_size)).astype(np.float32)
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(vitseg_logits_nchw(restored["params"], jnp.asarray(x),
+                                        seg_cfg, attn_impl="xla"))
+    np.testing.assert_allclose(got, expected, atol=5e-5, rtol=1e-4)
+
+
+def test_admin_page():
+    from visiontransformer_tpu.serve.server import ServingApp
+    from visiontransformer_tpu.serve.store import JobStore
+
+    store = JobStore(":memory:", media_root="/tmp/vtpu_admin_media")
+    store.register_model("m1", num_classes=17, config_name="P16H768A12")
+    store.create_user("bob", "pw123456")
+    job = store.create_job(1, 1, "/tmp/x.png")
+    store.fail_job(job["id"], "synthetic failure")
+
+    app = ServingApp(store)
+    html = app.render_admin()
+    assert "m1" in html and "FAILED" in html and "synthetic failure" in html
+    assert "users 1" in html
+
+
+def test_photos_store():
+    from visiontransformer_tpu.serve.store import JobStore
+
+    store = JobStore(":memory:", media_root="/tmp/vtpu_photo_media")
+    store.create_user("eve", "pw123456")
+    store.add_photo(1, "/tmp/a.png", caption="crack closeup")
+    photos = store.list_photos(user_id=1)
+    assert len(photos) == 1 and photos[0]["caption"] == "crack closeup"
+
+
+def test_binary_eval_sweep(tmp_path, rng):
+    from visiontransformer_tpu.evaluation.evaluate import evaluate_model
+    from visiontransformer_tpu.models.vitseg import vitseg_init
+
+    cfg = ViTSegConfig(
+        vit=ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      intermediate_size=64),
+        num_classes=1)
+    entry = SweepEntry(0, 16, 64, 1, 4)
+    params = vitseg_init(jax.random.PRNGKey(0), cfg)
+
+    class BinDs:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return (r.random((32, 32, 3)).astype(np.float32),
+                    (r.random((32, 32)) > 0.8).astype(np.float32))
+
+    csv_path = evaluate_model(params, cfg, entry, BinDs(),
+                              output_dir=str(tmp_path), batch_size=2,
+                              num_batches=2)
+    import csv as csvmod
+    rows = list(csvmod.reader(open(csv_path)))
+    assert len(rows) == 5
+    # binary preds/gt are {0,1}: the class-set columns stay within that
+    header = {n: i for i, n in enumerate(rows[0])}
+    for row in rows[1:]:
+        assert set(row[header["Pred_Classes"]].split("|")) <= {"0", "1"}

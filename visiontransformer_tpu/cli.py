@@ -95,6 +95,18 @@ def _build_parser():
     s.add_argument("--media-root", default="media")
     s.add_argument("--no-worker", action="store_true")
 
+    v = sub.add_parser("convert",
+                       help="convert a reference PyTorch-Lightning .ckpt "
+                            "into an Orbax checkpoint")
+    v.add_argument("--ckpt", required=True, help="path to the .ckpt file")
+    v.add_argument("--config", required=True,
+                   help="sweep config name, e.g. P8H1024A16")
+    v.add_argument("--num-classes", type=int, default=17)
+    v.add_argument("--out", required=True,
+                   help="output checkpoint directory")
+    v.add_argument("--epoch", type=int, default=0)
+    v.add_argument("--step", type=int, default=0)
+
     g = sub.add_parser("synth", help="generate a synthetic dataset")
     g.add_argument("--kind", choices=["multiclass", "binary"],
                    default="multiclass")
@@ -290,6 +302,26 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Reference .ckpt -> Orbax, so reference-trained weights serve on TPU
+    (write side of the parity path; load side is ckpt/torch_convert.py)."""
+    import numpy as np
+
+    from visiontransformer_tpu.ckpt.io import save_checkpoint
+    from visiontransformer_tpu.ckpt.torch_convert import (
+        load_lightning_checkpoint,
+    )
+    from visiontransformer_tpu.configs import sweep_by_name
+
+    cfg = sweep_by_name(args.config).seg_config(num_classes=args.num_classes)
+    params = load_lightning_checkpoint(args.ckpt, cfg)
+    path = save_checkpoint(args.out, {"params": params,
+                                      "step": np.asarray(args.step)},
+                           epoch=args.epoch, step=args.step)
+    print(path)
+    return 0
+
+
 def cmd_synth(args) -> int:
     from visiontransformer_tpu.data.synthetic import (
         generate_binary,
@@ -310,6 +342,7 @@ COMMANDS = {
     "demo": cmd_demo,
     "compare": cmd_compare,
     "serve": cmd_serve,
+    "convert": cmd_convert,
     "synth": cmd_synth,
 }
 

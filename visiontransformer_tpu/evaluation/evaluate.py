@@ -47,8 +47,12 @@ CSV_HEADER = [
 
 
 def _make_eval_fn(cfg: ViTSegConfig):
-    """One jitted program: forward + argmax + per-image metric vector."""
-    num_classes = cfg.num_classes
+    """One jitted program: forward + argmax (or sigmoid-threshold for the
+    binary PAED models) + per-image metric vector. The reference's PAED
+    sweep (model/PAED/ViTscriptTest.py) reuses the CE metric loop; here the
+    single-logit case thresholds at 0.5 and scores classes {0, 1}."""
+    binary = cfg.num_classes == 1
+    num_classes = 2 if binary else cfg.num_classes
     size = cfg.vit.image_size
 
     def per_image(gt, pred):
@@ -62,11 +66,14 @@ def _make_eval_fn(cfg: ViTSegConfig):
     @jax.jit
     def eval_batch(params, images, masks):
         logits = vitseg_apply(params, images, cfg, deterministic=True)
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if binary:
+            preds = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.int32)
+        else:
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # GT masks arrive at their stored resolution; resize to the prediction
         # grid with PIL-NEAREST semantics (the reference resizes GT with
         # PIL, datasetTestViTmodel.py:191).
-        gt = resize_nearest_pil(masks, (size, size))
+        gt = resize_nearest_pil(masks, (size, size)).astype(jnp.int32)
         return preds, jax.vmap(per_image)(gt, preds)
 
     return eval_batch

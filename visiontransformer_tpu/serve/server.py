@@ -199,6 +199,38 @@ class ServingApp:
 
         return 404, {"detail": "Not found."}, []
 
+    # -------------------------------------------------------------- admin
+    def render_admin(self) -> str:
+        """Read-only operations dashboard (the role of the reference's
+        Django admin registrations, reference backend/core/admin.py:5-14)."""
+        jobs = self.store.list_jobs()[:50]
+        models = self.store.list_models()
+        rows_j = "".join(
+            f"<tr><td>{j['id'][:8]}</td><td>{j['status']}</td>"
+            f"<td>{j['user_username'] or '-'}</td><td>{j['vision_model']}</td>"
+            f"<td>{j['created_at'][:19]}</td>"
+            f"<td>{(j['error_message'] or '')[:60]}</td></tr>"
+            for j in jobs)
+        rows_m = "".join(
+            f"<tr><td>{m['id']}</td><td>{m['name']}</td>"
+            f"<td>{m['config_name']}</td><td>{m['num_classes']}</td>"
+            f"<td>{m['input_size']}</td></tr>" for m in models)
+        worker = self.worker
+        worker_line = (f"embedded worker: {worker.processed} jobs processed"
+                       if worker else "external-orchestrator mode (no worker)")
+        return f"""<!doctype html><html><head><title>vitseg admin</title>
+<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #ccc;padding:4px 8px;font-size:13px}}</style></head>
+<body><h1>visiontransformer_tpu — operations</h1>
+<p>{worker_line} · jobs total {self.store.count_jobs()} ·
+done {self.store.count_jobs('DONE')} · failed {self.store.count_jobs('FAILED')}
+· users {self.store.count_users()}</p>
+<h2>Vision models</h2>
+<table><tr><th>id</th><th>name</th><th>config</th><th>classes</th><th>input</th></tr>{rows_m}</table>
+<h2>Latest jobs</h2>
+<table><tr><th>id</th><th>status</th><th>user</th><th>model</th><th>created</th><th>error</th></tr>{rows_j}</table>
+</body></html>"""
+
     # ---------------------------------------------------------- job CRUD
     def _list_jobs(self, query, cookies):
         user = self._current_user(cookies)
@@ -292,6 +324,14 @@ class _Handler(BaseHTTPRequestHandler):
         parsed = urlparse(self.path)
         if parsed.path.startswith("/media/") and method == "GET":
             return self._serve_media(parsed.path)
+        if parsed.path.rstrip("/") == "/admin" and method == "GET":
+            html = self.app.render_admin().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(html)))
+            self.end_headers()
+            self.wfile.write(html)
+            return
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length) if length else b""
         cookies = parse_cookies(self.headers.get("Cookie"))

@@ -36,6 +36,13 @@ CREATE TABLE IF NOT EXISTS users (
     email TEXT DEFAULT '',
     created_at TEXT NOT NULL
 );
+CREATE TABLE IF NOT EXISTS photos (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    user_id INTEGER REFERENCES users(id),
+    image TEXT NOT NULL,
+    caption TEXT DEFAULT '',
+    uploaded_at TEXT NOT NULL
+);
 CREATE TABLE IF NOT EXISTS vision_models (
     id INTEGER PRIMARY KEY AUTOINCREMENT,
     name TEXT UNIQUE NOT NULL,
@@ -142,6 +149,29 @@ class JobStore:
     def count_users(self) -> int:
         with self._conn() as c:
             return c.execute("SELECT COUNT(*) FROM users").fetchone()[0]
+
+    # ------------------------------------------------------------ photos
+    # User photo album (the reference's Photo model exists but is unused by
+    # its API, reference backend/core/models.py:9-21 — kept for parity).
+    def add_photo(self, user_id: Optional[int], image_path: str,
+                  caption: str = "") -> int:
+        with self._conn() as c:
+            cur = c.execute(
+                "INSERT INTO photos (user_id, image, caption, uploaded_at)"
+                " VALUES (?,?,?,?)", (user_id, image_path, caption, _now()))
+            return cur.lastrowid
+
+    def list_photos(self, user_id: Optional[int] = None) -> List[Dict]:
+        query = "SELECT id, user_id, image, caption, uploaded_at FROM photos"
+        args = []
+        if user_id is not None:
+            query += " WHERE user_id=?"
+            args.append(user_id)
+        with self._conn() as c:
+            rows = c.execute(query + " ORDER BY uploaded_at DESC",
+                             args).fetchall()
+        return [{"id": r[0], "user_id": r[1], "image": r[2],
+                 "caption": r[3], "uploaded_at": r[4]} for r in rows]
 
     # ------------------------------------------------------- vision models
     def register_model(self, name: str, *, num_classes: int,
