@@ -247,3 +247,34 @@ def test_external_complete_flow(serving):
     assert status in (200, 400)
     final = store.get_job(job["id"])
     assert final["status"] == "DONE"
+
+
+def test_concurrent_claims_are_disjoint():
+    """The atomic-claim guarantee: N threads racing claim_pending_jobs never
+    receive the same job twice (the by-construction fix for the reference's
+    dispatch race, SURVEY.md §5)."""
+    import threading as th
+
+    store = JobStore(":memory:", media_root="/tmp/vtpu_claim_media")
+    store.register_model("m", num_classes=1, config_name="P16H512A8")
+    for _ in range(40):
+        store.create_job(None, 1, "/tmp/x.png")
+
+    claimed, lock = [], th.Lock()
+
+    def claim_loop():
+        while True:
+            got = store.claim_pending_jobs(3)
+            if not got:
+                return
+            with lock:
+                claimed.extend(j["id"] for j in got)
+
+    threads = [th.Thread(target=claim_loop) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(claimed) == 40
+    assert len(set(claimed)) == 40  # no double claims

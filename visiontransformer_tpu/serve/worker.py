@@ -93,11 +93,15 @@ class ModelRunner:
 
 class InferenceWorker:
     def __init__(self, store: JobStore, *, poll_interval: float = 0.02,
-                 max_batch: int = BUCKETS[-1],
+                 max_batch: int = BUCKETS[-1], linger: float = 0.005,
                  compute_dtype: str = "bfloat16"):
         self.store = store
         self.poll_interval = poll_interval
         self.max_batch = max_batch
+        # Dynamic-batching linger: when fewer than max_batch jobs are
+        # pending, wait this long for more to arrive before dispatching a
+        # partial bucket — classic latency/throughput knob.
+        self.linger = linger
         self.compute_dtype = compute_dtype
         self._runners: Dict[int, ModelRunner] = {}
         self._stop = threading.Event()
@@ -121,6 +125,10 @@ class InferenceWorker:
             if not jobs:
                 self._stop.wait(self.poll_interval)
                 continue
+            if len(jobs) < self.max_batch and self.linger > 0:
+                self._stop.wait(self.linger)
+                jobs += self.store.claim_pending_jobs(
+                    self.max_batch - len(jobs))
             for model_id, group in _group_by_model(jobs):
                 self._process_group(model_id, group)
 
