@@ -89,6 +89,7 @@ class Trainer:
 
         self._train_step = None
         self._eval_step = None
+        self._tb_writer = None
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
@@ -302,6 +303,15 @@ class Trainer:
 
             if self.logger:
                 self.logger.log(epoch_metrics, epoch=epoch, step=global_step)
+                # tfevents sibling of the CSV log, like the reference's
+                # Lightning runs (tfevents next to metrics.csv).
+                if self._tb_writer is None:
+                    from visiontransformer_tpu.utils.tbevents import (
+                        EventFileWriter)
+                    self._tb_writer = EventFileWriter(self.logger.log_dir)
+                for key, value in epoch_metrics.items():
+                    self._tb_writer.add_scalar(key, value, global_step)
+                self._tb_writer.flush()
             if on_epoch_end:
                 on_epoch_end(epoch, epoch_metrics)
 
