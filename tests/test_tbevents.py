@@ -28,5 +28,8 @@ def test_tensorboard_reads_our_events(tmp_path):
 
     scalars = [(e.step, v.tag, scalar_of(v))
                for e in events[1:] for v in e.summary.value]
-    assert scalars == [(1, "train_loss", 0.5), (2, "train_loss", 0.25),
-                       (2, "valid_iou", 0.8)]
+    expected = [(1, "train_loss", 0.5), (2, "train_loss", 0.25),
+                (2, "valid_iou", 0.8)]
+    for (s, t, v), (es, et, ev) in zip(scalars, expected):
+        assert (s, t) == (es, et)
+        assert v == pytest.approx(ev, abs=1e-6)  # fp32 storage
