@@ -37,3 +37,29 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = False,
 def num_batches(dataset, batch_size: int, drop_last: bool = True) -> int:
     n = len(dataset)
     return n // batch_size if drop_last else -(-n // batch_size)
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a bounded queue, so host
+    image decode overlaps device compute (the role of the reference's
+    num_workers=2 DataLoader processes, reference model/CE/createViTmodel.py:57)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

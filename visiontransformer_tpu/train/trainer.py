@@ -273,9 +273,10 @@ class Trainer:
             # ---- train ----
             t0 = time.time()
             train_metrics = []
-            for batch in batch_iterator(train_dataset, cfg.batch_size,
-                                        shuffle=True, seed=cfg.seed,
-                                        epoch=epoch):
+            from visiontransformer_tpu.data.pipeline import prefetch
+            for batch in prefetch(batch_iterator(
+                    train_dataset, cfg.batch_size, shuffle=True,
+                    seed=cfg.seed, epoch=epoch)):
                 if profile_dir and epoch == start_epoch and global_step == 2:
                     jax.profiler.start_trace(profile_dir)
                 rng = jax.random.fold_in(root_rng, global_step)
