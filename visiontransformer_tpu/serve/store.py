@@ -251,6 +251,19 @@ class JobStore:
             rows = c.execute(query, args).fetchall()
         return [self._job_dict(r) for r in rows]
 
+    def requeue_stale_processing(self, older_than_s: float = 300.0) -> int:
+        """PROCESSING -> PENDING for jobs whose worker died (crash
+        recovery; the reference leaves such jobs stuck forever,
+        SURVEY.md §5 failure-detection gap). Returns the number requeued."""
+        cutoff = (_dt.datetime.now(_dt.timezone.utc)
+                  - _dt.timedelta(seconds=older_than_s)).isoformat()
+        with self._conn() as c:
+            cur = c.execute(
+                "UPDATE jobs SET status='PENDING', updated_at=?"
+                " WHERE status='PROCESSING' AND updated_at < ?",
+                (_now(), cutoff))
+            return cur.rowcount
+
     def claim_pending_jobs(self, limit: int) -> List[Dict]:
         """Atomically move up to `limit` PENDING jobs to PROCESSING and
         return them — the by-construction fix for the reference's dispatch

@@ -110,6 +110,9 @@ class InferenceWorker:
 
     # ----------------------------------------------------------- lifecycle
     def start(self) -> None:
+        # Crash recovery: jobs a dead worker left PROCESSING go back to the
+        # queue (any age — at startup no other worker can own them).
+        self.store.requeue_stale_processing(older_than_s=0.0)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tpu-inference-worker")
         self._thread.start()
