@@ -27,7 +27,7 @@ BASELINE_IMGS_PER_SEC = 2.86  # reference P16H768A12, BASELINE.md
 BATCH = 16
 IMAGE_SIZE = 512
 ITERS = 20
-ROUNDS = 3
+ROUNDS = 5  # the chip is pooled/shared; best-of-N rides out contention
 
 # ImageNet normalization constants (standard for ViT preprocessing).
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)

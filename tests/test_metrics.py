@@ -135,3 +135,19 @@ def test_soft_iou_score(rng):
         union = np.clip(p + t, 0, 1).sum(axis=(1, 2))
         per_class.append(((inter + 1e-6) / (union + 1e-6)).mean())
     np.testing.assert_allclose(got, np.mean(per_class), rtol=1e-5)
+
+
+def test_pixel_confusion_matrix(rng):
+    from visiontransformer_tpu.metrics.segmentation import (
+        pixel_confusion_matrix)
+    gt = rng.integers(0, 4, (16, 16))
+    pred = rng.integers(0, 4, (16, 16))
+    cm = np.asarray(pixel_confusion_matrix(jnp.asarray(gt),
+                                           jnp.asarray(pred), 4))
+    assert cm.sum() == gt.size
+    expected = np.zeros((4, 4), np.int64)
+    for i, j in zip(gt.reshape(-1), pred.reshape(-1)):
+        expected[i, j] += 1
+    np.testing.assert_array_equal(cm, expected)
+    # diagonal = correct pixels
+    assert cm.trace() == (gt == pred).sum()

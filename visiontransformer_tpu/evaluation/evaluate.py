@@ -63,6 +63,9 @@ def _make_eval_fn(cfg: ViTSegConfig):
         pred_present = jnp.zeros(num_classes, bool).at[pred.reshape(-1)].set(True)
         return acc, miou, mdice, gt_present, pred_present
 
+    from visiontransformer_tpu.metrics.segmentation import (
+        pixel_confusion_matrix)
+
     @jax.jit
     def eval_batch(params, images, masks):
         logits = vitseg_apply(params, images, cfg, deterministic=True)
@@ -74,7 +77,8 @@ def _make_eval_fn(cfg: ViTSegConfig):
         # grid with PIL-NEAREST semantics (the reference resizes GT with
         # PIL, datasetTestViTmodel.py:191).
         gt = resize_nearest_pil(masks, (size, size)).astype(jnp.int32)
-        return preds, jax.vmap(per_image)(gt, preds)
+        cm = pixel_confusion_matrix(gt, preds, num_classes)
+        return preds, jax.vmap(per_image)(gt, preds), cm
 
     return eval_batch
 
@@ -91,6 +95,7 @@ def evaluate_model(params, cfg: ViTSegConfig, entry: SweepEntry, dataset, *,
     csv_path = os.path.join(model_dir, f"{entry.name}_metrics.csv")
 
     eval_batch = _make_eval_fn(cfg)
+    confusion = None
 
     with open(csv_path, "w", newline="") as f:
         writer = csv.writer(f)
@@ -104,8 +109,10 @@ def evaluate_model(params, cfg: ViTSegConfig, entry: SweepEntry, dataset, *,
             masks = jnp.asarray(batch["mask"])
 
             t0 = time.perf_counter()
-            preds, (acc, miou, mdice, gt_present, pred_present) = (
+            preds, (acc, miou, mdice, gt_present, pred_present), cm = (
                 eval_batch(params, images, masks))
+            cm = np.asarray(cm, np.int64)
+            confusion = cm if confusion is None else confusion + cm
             preds = np.asarray(preds)  # full sync (remote-tunnel honest time)
             avg_time = (time.perf_counter() - t0) / images.shape[0]
 
@@ -137,6 +144,10 @@ def evaluate_model(params, cfg: ViTSegConfig, entry: SweepEntry, dataset, *,
                     model_dir, entry.name, batch_num,
                     np.asarray(images), np.asarray(batch["mask"]), preds,
                     class_names=class_names, rgb_to_class=rgb_to_class)
+
+    if confusion is not None:
+        np.save(os.path.join(model_dir,
+                             f"{entry.name}_pixel_confusion.npy"), confusion)
 
     return csv_path
 

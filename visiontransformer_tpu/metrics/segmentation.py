@@ -163,6 +163,19 @@ def smp_iou_micro_imagewise(tp, fp, fn, tn) -> jnp.ndarray:
     return jnp.mean(tp_i / (tp_i + fp_i + fn_i))
 
 
+def pixel_confusion_matrix(gt: jnp.ndarray, pred: jnp.ndarray,
+                           num_classes: int) -> jnp.ndarray:
+    """Pixel-level confusion matrix M[i, j] = #pixels with GT class i
+    predicted as j. (The reference only reports set-level class confusion,
+    compareModels.py:133-178; this is the strictly stronger pixel version,
+    computed on-device as one scatter-add.)"""
+    idx = (gt.astype(jnp.int32).reshape(-1) * num_classes
+           + pred.astype(jnp.int32).reshape(-1))
+    counts = jnp.zeros((num_classes * num_classes,), jnp.int32)
+    counts = counts.at[idx].add(1)
+    return counts.reshape(num_classes, num_classes)
+
+
 # ---------------------------------------------------------------------------
 # PAED-multiclass monitoring IoU (reference model/PAED/classes.py:430-447)
 # ---------------------------------------------------------------------------
