@@ -56,3 +56,56 @@ def test_flash_bf16(rng):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(expected, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_flash_dropout_deterministic_and_unbiased(rng):
+    n = 130
+    q, k, v = _rand_qkv(rng, 1, 2, n, 64)
+    base = flash_attention(q, k, v, interpret=True)
+
+    a = flash_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                        dropout_seed=7)
+    b = flash_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                        dropout_seed=7)
+    c = flash_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                        dropout_seed=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same seed
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4    # diff seed
+    assert np.abs(np.asarray(a) - np.asarray(base)).max() > 1e-4  # dropped
+
+    # Unbiasedness: mean over many seeds approaches the no-dropout output.
+    acc = np.zeros_like(np.asarray(base))
+    n_seeds = 48
+    for s in range(n_seeds):
+        acc += np.asarray(flash_attention(q, k, v, interpret=True,
+                                          dropout_rate=0.3, dropout_seed=s))
+    mean = acc / n_seeds
+    err = np.abs(mean - np.asarray(base)).mean()
+    scale = np.abs(np.asarray(base)).mean()
+    assert err < 0.12 * scale, f"dropout mean bias too large: {err/scale:.3f}"
+
+
+def test_flash_dropout_gradients_match_finite_difference(rng):
+    """custom-VJP backward with dropout vs central finite differences for
+    the SAME seed (the mask is deterministic given the seed)."""
+    n = 64
+    q, k, v = _rand_qkv(rng, 1, 1, n, 64)
+    w = jnp.asarray(rng.standard_normal((1, 1, n, 64)), jnp.float32)
+
+    def f(q):
+        out = flash_attention(q, k, v, interpret=True, dropout_rate=0.25,
+                              dropout_seed=3, block_q=64, block_k=64)
+        return jnp.sum(out * w)
+
+    g = np.asarray(jax.grad(f)(q))
+    # probe a handful of coordinates
+    eps = 1e-3
+    for (bi, hi, ni, di) in [(0, 0, 0, 0), (0, 0, 10, 5), (0, 0, 63, 63),
+                             (0, 0, 31, 17)]:
+        dq = np.zeros(q.shape, np.float32)
+        dq[bi, hi, ni, di] = eps
+        fp = float(f(q + jnp.asarray(dq)))
+        fm = float(f(q - jnp.asarray(dq)))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - g[bi, hi, ni, di]) < 5e-2 * max(1.0, abs(fd)), \
+            f"grad mismatch at {(bi, hi, ni, di)}: fd={fd} ad={g[bi,hi,ni,di]}"

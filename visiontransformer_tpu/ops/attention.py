@@ -51,16 +51,20 @@ def multi_head_attention(q, k, v, *, implementation: str = "auto",
     """
     if implementation == "auto":
         # Flash wins on v5e once the score matrix is big enough to pay for
-        # the streaming (measured: 1.55x at N=3137, a wash at 785, a loss at
-        # 1025 where 512-block padding bites). The XLA path also carries
-        # attention-probs dropout, which the flash kernel does not.
-        use_flash = ((deterministic or dropout_rate == 0.0) and _on_tpu()
-                     and q.shape[-2] >= 1024 and _flash_available())
+        # the streaming (measured: 1.55x at N=3137, 1.5x at N=1025). The
+        # kernel carries attention-probs dropout in-chip (per-tile PRNG), so
+        # it also serves the training path — where it additionally avoids
+        # storing B·H·N² probs + masks for the backward pass.
+        use_flash = (_on_tpu() and q.shape[-2] >= 1024 and _flash_available())
         implementation = "flash" if use_flash else "xla"
 
     if implementation == "flash":
         from visiontransformer_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v)
+        if deterministic or dropout_rate == 0.0:
+            return flash_attention(q, k, v)
+        seed = jax.random.randint(dropout_key, (), 0, 2**31 - 1)
+        return flash_attention(q, k, v, dropout_rate=dropout_rate,
+                               dropout_seed=seed)
     if implementation == "xla":
         return _xla_attention(q, k, v, dropout_rate=dropout_rate,
                               dropout_key=dropout_key,

@@ -49,18 +49,55 @@ def _maybe_unrolled(num_steps: int, body, init):
     return jax.lax.fori_loop(0, num_steps, body, init)
 
 
+def _tile_dropout_mask(seed_ref, b, qi, kj, shape, keep_prob: float,
+                       interpret: bool = False):
+    """Deterministic per-tile dropout keep-mask.
+
+    Seeded by (user seed, batch·head index, q-tile, k-tile), so the forward
+    kernel and BOTH backward kernels regenerate the identical mask for a
+    tile regardless of their different grid layouts — the masks never leave
+    the chip (the eager path must store B·H·N² mask bits).
+
+    Interpret mode (CPU tests) lacks the TPU PRNG primitives; a threefry
+    mask with the same (seed, b, qi, kj) determinism stands in — the
+    bitstream is implementation-defined either way.
+    """
+    if interpret:
+        key = jax.random.PRNGKey(seed_ref[0])
+        for piece in (b, qi, kj):
+            key = jax.random.fold_in(key, piece)
+        return jax.random.bernoulli(key, keep_prob, shape).astype(jnp.float32)
+    # Mosaic's prng_seed takes at most two values: fold (seed, b) and
+    # (qi, kj) with odd multipliers (full-period mod 2^32).
+    s1 = seed_ref[0] * jnp.int32(1640531527) + b  # 2654435761 as signed i32
+    s2 = qi * jnp.int32(40503) + kj + jnp.int32(1)
+    pltpu.prng_seed(s1, s2)
+    bits = pltpu.prng_random_bits(shape)
+    # Branch-free f32 0/1 keep-mask (i1 tiles trip Mosaic relayout
+    # restrictions): u = uniform[0,1) from the top 24 random bits, then
+    # keep = 1 - min(floor(u/keep_prob), 1).
+    # uint32->f32 casts are unsupported in Mosaic; shift to 24 bits (always
+    # non-negative) and go through int32.
+    u = ((pltpu.bitcast(bits, jnp.uint32) >> 8)
+         .astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0))
+    drop = jnp.minimum(jnp.floor(u * (1.0 / keep_prob)), 1.0)
+    return 1.0 - drop
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                scale: float, seq_len: int, block_k: int):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                scale: float, seq_len: int, block_k: int,
+                dropout_rate: float = 0.0, interpret: bool = False):
     # Inputs stay in their storage dtype (bf16) so the MXU runs at full
     # bf16 rate; only accumulation and the softmax state are fp32.
     q = q_ref[0]                               # (block_q, d)
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
     block_q, d = q.shape
+    keep = 1.0 - dropout_rate
 
     def body(i, carry):
         acc, m, l = carry
@@ -75,9 +112,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
+        # The softmax denominator sums UNdropped probabilities; dropout
+        # applies to the normalized probs, i.e. to the numerator terms.
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        p_use = p
+        if dropout_rate > 0.0:
+            mask = _tile_dropout_mask(seed_ref, pl.program_id(0),
+                                      pl.program_id(1), i, p.shape, keep,
+                                      interpret)
+            p_use = p * (mask / keep)
         acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p_use.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l
 
@@ -120,21 +165,24 @@ def choose_blocks(n: int):
     return min(512, n_pad), min(512, n_pad), n_pad
 
 
-def _fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool,
-         n_pad: Optional[int] = None):
+def _fwd(q, k, v, seed, *, block_q: int, block_k: int, interpret: bool,
+         n_pad: Optional[int] = None, dropout_rate: float = 0.0):
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
     if n_pad is None:
         n_pad = _round_up(n, max(block_q, block_k))
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+    seed_i = seed.astype(jnp.int32).reshape(1)
 
     grid = (bh, n_pad // block_q)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, seq_len=n,
-                          block_k=block_k),
+                          block_k=block_k, dropout_rate=dropout_rate,
+                          interpret=interpret),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
@@ -155,7 +203,7 @@ def _fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool,
             jax.ShapeDtypeStruct((bh, 1, n_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp)
+    )(seed_i, qp, kp, vp)
     return out[:, :n, :], lse[:, 0, :n]
 
 
@@ -163,14 +211,16 @@ def _fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-                   scale: float, seq_len: int, block_k: int):
+def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, scale: float, seq_len: int, block_k: int,
+                   dropout_rate: float = 0.0, interpret: bool = False):
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
     block_q, d = q.shape
     n_pad = k_ref.shape[1]
+    keep = 1.0 - dropout_rate
 
     def body(i, dq):
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
@@ -182,6 +232,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         p = jnp.where(col < seq_len, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            # Regenerate the forward's exact tile mask.
+            mask = _tile_dropout_mask(seed_ref, pl.program_id(0),
+                                      pl.program_id(1), i, p.shape, keep,
+                                      interpret)
+            dp = dp * (mask / keep)
         ds = (p * (dp - delta)).astype(k.dtype)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -192,17 +248,21 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale: float, seq_len: int,
-                    block_q: int):
+                    block_q: int, dropout_rate: float = 0.0,
+                    interpret: bool = False):
     k = k_ref[0]                              # (block_k, d)
     v = v_ref[0]
     block_k, d = k.shape
     n_pad = q_ref.shape[1]
     kb = pl.program_id(1)
+    # This program's key positions, shaped (block_k, 1) directly — inserting
+    # a minor dim on a bool (i1) tile is unsupported by Mosaic.
     col = kb * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (1, block_k), 1)           # this program's key positions
-    key_valid = (col < seq_len)[0][:, None]   # (block_k, 1)
+        jnp.int32, (block_k, 1), 0)
+    key_valid = (col < seq_len).astype(jnp.float32)  # (block_k, 1) 0/1
+    keep = 1.0 - dropout_rate
 
     def body(i, carry):
         dk, dv = carry
@@ -213,13 +273,22 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)                  # (block_q, block_k) fp32
-        # Padded q rows have lse=0 and garbage s; their do is zero, so they
-        # contribute nothing to dv; for dk they enter via ds — zero there too.
-        p_lo = p.astype(do.dtype)
-        dv = dv + jax.lax.dot_general(p_lo, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            # Same (q-tile, k-tile) seeding as the forward: tile index is
+            # (i, kb) here because this kernel's grid runs over k blocks.
+            mask = _tile_dropout_mask(seed_ref, pl.program_id(0), i, kb,
+                                      p.shape, keep, interpret)
+            p_for_dv = p * (mask / keep)
+            dp = dp * (mask / keep)
+        else:
+            p_for_dv = p
+        # Padded q rows have lse=0 and garbage s; their do is zero, so they
+        # contribute nothing to dv; for dk they enter via ds — zero there too.
+        dv = dv + jax.lax.dot_general(p_for_dv.astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
         ds = (p * (dp - delta)).astype(q.dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32) * scale
@@ -228,12 +297,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk = jnp.zeros((block_k, d), jnp.float32)
     dv = jnp.zeros((block_k, d), jnp.float32)
     dk, dv = _maybe_unrolled(n_pad // block_q, body, (dk, dv))
-    dk_ref[0] = jnp.where(key_valid, dk, 0.0).astype(dk_ref.dtype)
-    dv_ref[0] = jnp.where(key_valid, dv, 0.0).astype(dv_ref.dtype)
+    dk_ref[0] = (dk * key_valid).astype(dk_ref.dtype)
+    dv_ref[0] = (dv * key_valid).astype(dv_ref.dtype)
 
 
-def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None):
-    q, k, v, out, lse = res
+def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None,
+         dropout_rate: float = 0.0):
+    q, k, v, seed, out, lse = res
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
     if n_pad is None:
@@ -244,7 +314,9 @@ def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None):
     qp, kp, vp, dop = (jnp.pad(x, pad) for x in (q, k, v, g))
     lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])[:, None, :]
     deltap = jnp.pad(delta, [(0, 0), (0, n_pad - n)])[:, None, :]
+    seed_i = seed.astype(jnp.int32).reshape(1)
 
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vec_q = lambda blk: pl.BlockSpec((1, blk, d), lambda b, i: (b, i, 0),
                                      memory_space=pltpu.VMEM)
     vec_full = pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
@@ -256,63 +328,77 @@ def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, seq_len=n,
-                          block_k=block_k),
+                          block_k=block_k, dropout_rate=dropout_rate,
+                          interpret=interpret),
         grid=(bh, n_pad // block_q),
-        in_specs=[vec_q(block_q), vec_full, vec_full, vec_q(block_q),
+        in_specs=[smem, vec_q(block_q), vec_full, vec_full, vec_q(block_q),
                   row_q(block_q), row_q(block_q)],
         out_specs=vec_q(block_q),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(seed_i, qp, kp, vp, dop, lsep, deltap)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, seq_len=n,
-                          block_q=block_q),
+                          block_q=block_q, dropout_rate=dropout_rate,
+                          interpret=interpret),
         grid=(bh, n_pad // block_k),
-        in_specs=[vec_full, vec_q(block_k), vec_q(block_k), vec_full,
+        in_specs=[smem, vec_full, vec_q(block_k), vec_q(block_k), vec_full,
                   row_full, row_full],
         out_specs=[vec_q(block_k), vec_q(block_k)],
         out_shape=[jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
                    jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)],
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(seed_i, qp, kp, vp, dop, lsep, deltap)
 
-    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
+    return (dq[:, :n, :], dk[:, :n, :], dv[:, :n, :],
+            jnp.zeros_like(seed))
 
 
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_bhnd(q, k, v, block_q: int, block_k: int, n_pad: int,
-                interpret: bool):
-    out, _ = _fwd(q, k, v, block_q=block_q, block_k=block_k, n_pad=n_pad,
-                  interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_bhnd(q, k, v, seed, block_q: int, block_k: int, n_pad: int,
+                interpret: bool, dropout_rate: float):
+    out, _ = _fwd(q, k, v, seed, block_q=block_q, block_k=block_k,
+                  n_pad=n_pad, interpret=interpret,
+                  dropout_rate=dropout_rate)
     return out
 
 
-def _flash_fwd_rule(q, k, v, block_q, block_k, n_pad, interpret):
-    out, lse = _fwd(q, k, v, block_q=block_q, block_k=block_k, n_pad=n_pad,
-                    interpret=interpret)
-    return out, (q, k, v, out, lse)
+def _flash_fwd_rule(q, k, v, seed, block_q, block_k, n_pad, interpret,
+                    dropout_rate):
+    out, lse = _fwd(q, k, v, seed, block_q=block_q, block_k=block_k,
+                    n_pad=n_pad, interpret=interpret,
+                    dropout_rate=dropout_rate)
+    return out, (q, k, v, seed, out, lse)
 
 
 _flash_bhnd.defvjp(
     _flash_fwd_rule,
-    lambda bq, bk, n_pad, interp, res, g: _bwd(bq, bk, interp, res, g,
-                                               n_pad=n_pad))
+    lambda bq, bk, n_pad, interp, rate, res, g: _bwd(
+        bq, bk, interp, res, g, n_pad=n_pad, dropout_rate=rate))
 
 
 def flash_attention(q, k, v, *, block_q: Optional[int] = None,
                     block_k: Optional[int] = None,
-                    interpret: Optional[bool] = None):
+                    interpret: Optional[bool] = None,
+                    dropout_rate: float = 0.0,
+                    dropout_seed=None):
     """Softmax attention over (B, H, N, D) tensors, O(N) memory.
 
-    Numerically equivalent to ops.attention's XLA path (no dropout); exposed
-    through multi_head_attention(implementation="flash"). Default block size
-    is min(512, N rounded to 128) — tuned on v5e: 512²-tile streaming beats
-    the XLA attention 1.55× at N=3137 and matches it at N=785.
+    Numerically equivalent to ops.attention's XLA path; exposed through
+    multi_head_attention(implementation="flash"). Default block size comes
+    from a measured-on-v5e table (choose_blocks): 512²-tile streaming beats
+    the XLA attention 1.55× at N=3137 and 1.5× at N=1025.
+
+    dropout_rate > 0 applies attention-probs dropout *inside* the kernel
+    (the reference trains with attention_probs_dropout_prob=0.1): masks are
+    regenerated per tile from (dropout_seed, head, q-tile, k-tile) in both
+    forward and backward, so no B·H·N² mask ever exists in memory. The mask
+    distribution matches torch dropout; the bitstream is this kernel's own.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -325,7 +411,11 @@ def flash_attention(q, k, v, *, block_q: Optional[int] = None,
             n_pad = _round_up(n, max(block_q, block_k))
     else:
         n_pad = _round_up(n, max(block_q, block_k))
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = (jnp.zeros((1,), jnp.float32) if dropout_seed is None
+            else jnp.asarray(dropout_seed, jnp.float32).reshape(1))
     merge = lambda x: x.reshape(b * h, n, d)
-    out = _flash_bhnd(merge(q), merge(k), merge(v), block_q, block_k, n_pad,
-                      interpret)
+    out = _flash_bhnd(merge(q), merge(k), merge(v), seed, block_q, block_k,
+                      n_pad, interpret, float(dropout_rate))
     return out.reshape(b, h, n, d)
