@@ -9,7 +9,7 @@ and SDFs moved on-device, see data/dataset.py).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

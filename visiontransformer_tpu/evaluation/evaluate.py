@@ -21,7 +21,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
 

@@ -33,7 +33,6 @@ from __future__ import annotations
 import json
 import mimetypes
 import os
-import threading
 import uuid as _uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple

@@ -17,13 +17,11 @@ with scipy inside dataloader workers (model/PAED/classes.py:69).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from visiontransformer_tpu.configs import ViTSegConfig
 from visiontransformer_tpu.losses.basic import cross_entropy_loss
 from visiontransformer_tpu.losses.paed import (
     paed_binary_total_loss,

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from visiontransformer_tpu.configs import TrainConfig, ViTSegConfig
+from visiontransformer_tpu.configs import TrainConfig
 from visiontransformer_tpu.data.pipeline import batch_iterator
 from visiontransformer_tpu.parallel.mesh import (
     batch_sharding,
