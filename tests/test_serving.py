@@ -278,3 +278,48 @@ def test_concurrent_claims_are_disjoint():
 
     assert len(claimed) == 40
     assert len(set(claimed)) == 40  # no double claims
+
+
+def test_worker_serves_trained_checkpoint(tmp_path):
+    """Orbax checkpoint from a training run -> registered model with
+    checkpoint_path -> worker loads trained weights (not random init)."""
+    import os
+
+    import numpy as np
+
+    import jax
+
+    import visiontransformer_tpu.serve.worker as worker_mod
+    from visiontransformer_tpu.ckpt.io import save_checkpoint
+    from visiontransformer_tpu.configs import SweepEntry, ViTSegConfig
+    from visiontransformer_tpu.models.vitseg import vitseg_init
+
+    entry = SweepEntry(0, 16, 64, 1, 4)
+    cfg = ViTSegConfig(vit=entry.vit_config(image_size=32,
+                                            intermediate_size=64),
+                       num_classes=3)
+    # a "trained" set of params: distinctive constant cls token
+    params = vitseg_init(jax.random.PRNGKey(1), cfg)
+    params["backbone"]["cls_token"] = params["backbone"]["cls_token"] * 0 + 0.5
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, {"params": params, "step": np.asarray(7)},
+                    epoch=1, step=7)
+
+    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
+    store.register_model("trained", num_classes=3, config_name="X",
+                         input_size=32,
+                         checkpoint_path=os.path.join(ckpt_dir,
+                                                      "epoch=1-step=7"))
+    orig = worker_mod.sweep_by_name
+    worker_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    try:
+        # intermediate_size differs from the sweep default: monkeypatch the
+        # entry so ModelRunner builds the matching tiny config
+        worker_mod.sweep_by_name = lambda name: entry
+
+        runner = worker_mod.ModelRunner(store.get_model(1),
+                                        compute_dtype="float32")
+        loaded = np.asarray(runner.params["backbone"]["cls_token"])
+        np.testing.assert_allclose(loaded, 0.5)
+    finally:
+        worker_mod.sweep_by_name = orig

@@ -77,8 +77,16 @@ class ServingApp:
             return False
         return headers.get("x-csrftoken") == cookie_token
 
+    @staticmethod
+    def _public_model(model: Optional[Dict]) -> Optional[Dict]:
+        """Strip server-side fields (the reference likewise removed the
+        weights FileField from the public model, migration 0002)."""
+        if model is None:
+            return None
+        return {k: v for k, v in model.items() if k != "checkpoint_path"}
+
     def _serialize_job(self, job: Dict) -> Dict:
-        model = self.store.get_model(job["vision_model"])
+        model = self._public_model(self.store.get_model(job["vision_model"]))
         return {
             "id": job["id"],
             "vision_model": job["vision_model"],
@@ -111,14 +119,15 @@ class ServingApp:
 
         if route == "/api/vision-models" and method == "GET":
             page = int(query.get("page", ["1"])[0])
-            return 200, paginate(self.store.list_models(), page, PAGE_SIZE,
+            models = [self._public_model(m) for m in self.store.list_models()]
+            return 200, paginate(models, page, PAGE_SIZE,
                                  "/api/vision-models/"), []
 
         if route.startswith("/api/vision-models/") and method == "GET":
             model = self.store.get_model(_int_or(route.split("/")[-1]))
             if model is None:
                 return 404, {"detail": "Not found."}, []
-            return 200, model, []
+            return 200, self._public_model(model), []
 
         if route == "/api/metrics" and method == "GET":
             return 200, {

@@ -187,18 +187,20 @@ class JobStore:
                  checkpoint_path))
             return cur.lastrowid
 
+    _MODEL_COLS = ("id, name, description, num_classes, input_size,"
+                   " config_name, checkpoint_path")
+
     def list_models(self) -> List[Dict]:
         with self._conn() as c:
             rows = c.execute(
-                "SELECT id, name, description, num_classes, input_size,"
-                " config_name FROM vision_models ORDER BY name").fetchall()
+                f"SELECT {self._MODEL_COLS} FROM vision_models"
+                " ORDER BY name").fetchall()
         return [self._model_dict(r) for r in rows]
 
     def get_model(self, model_id: int) -> Optional[Dict]:
         with self._conn() as c:
             row = c.execute(
-                "SELECT id, name, description, num_classes, input_size,"
-                " config_name FROM vision_models WHERE id=?",
+                f"SELECT {self._MODEL_COLS} FROM vision_models WHERE id=?",
                 (model_id,)).fetchone()
         return self._model_dict(row) if row else None
 
@@ -206,7 +208,7 @@ class JobStore:
     def _model_dict(row) -> Dict:
         return {"id": row[0], "name": row[1], "description": row[2],
                 "num_classes": row[3], "input_size": row[4],
-                "config_name": row[5]}
+                "config_name": row[5], "checkpoint_path": row[6]}
 
     # --------------------------------------------------------------- jobs
     def create_job(self, user_id: Optional[int], vision_model_id: int,
