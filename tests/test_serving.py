@@ -323,3 +323,69 @@ def test_worker_serves_trained_checkpoint(tmp_path):
         np.testing.assert_allclose(loaded, 0.5)
     finally:
         worker_mod.sweep_by_name = orig
+
+
+def test_orchestrator_push_dispatch(tmp_path):
+    """External-orchestrator mode (the reference's call_model_server HTTP
+    dispatch, views.py:97-114): created jobs POST to the orchestrator with
+    the shared token; unreachable orchestrators FAIL the job (the reference
+    leaves it PENDING forever)."""
+    import http.server
+    import threading as th
+
+    from visiontransformer_tpu.serve.http import parse_multipart
+    from visiontransformer_tpu.serve.server import create_server
+
+    received = {}
+
+    class Orch(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            fields, files = parse_multipart(body,
+                                            self.headers["Content-Type"])
+            received.update(fields)
+            received["token"] = self.headers.get("X-ORCH-TOKEN")
+            received["image_bytes"] = len(files["input_image"].content)
+            self.send_response(202)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    orch = http.server.HTTPServer(("127.0.0.1", 0), Orch)
+    th.Thread(target=orch.serve_forever, daemon=True).start()
+    orch_url = f"http://127.0.0.1:{orch.server_address[1]}/enqueue/"
+
+    store = JobStore(":memory:", media_root=str(tmp_path))
+    store.register_model("m", num_classes=1, config_name="P16H512A8")
+    server, app = create_server(store, orch_url=orch_url,
+                                orch_token="sekret")
+    th.Thread(target=server.serve_forever, daemon=True).start()
+    client = Client(f"http://127.0.0.1:{server.server_address[1]}")
+
+    body, ctype = _multipart({"vision_model": "1"},
+                             {"input_image": ("p.png", _png_bytes())})
+    status, job = client.request("POST", "/api/inference-jobs/", body, ctype)
+    assert status == 201
+    deadline = time.time() + 10
+    while time.time() < deadline and "job_id" not in received:
+        time.sleep(0.05)
+    assert received["job_id"] == job["id"]
+    assert received["vision_model_id"] == "1"
+    assert received["token"] == "sekret"
+    assert received["image_bytes"] > 0
+    # job stays PENDING awaiting the /complete/ callback
+    assert store.get_job(job["id"])["status"] == "PENDING"
+
+    # unreachable orchestrator -> FAILED (improvement over the reference)
+    orch.shutdown()
+    orch.server_close()  # actually release the socket (refuse connections)
+    status, job2 = client.request("POST", "/api/inference-jobs/", body, ctype)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if store.get_job(job2["id"])["status"] == "FAILED":
+            break
+        time.sleep(0.05)
+    assert store.get_job(job2["id"])["status"] == "FAILED"
+    server.shutdown()

@@ -54,10 +54,18 @@ class ServingApp:
     """Routing + handlers, independent of the HTTP plumbing (testable)."""
 
     def __init__(self, store: JobStore, *, worker=None,
-                 signer: Optional[SessionSigner] = None):
+                 signer: Optional[SessionSigner] = None,
+                 orch_url: Optional[str] = None, orch_token: str = ""):
         self.store = store
         self.worker = worker
         self.signer = signer or SessionSigner()
+        # External-orchestrator dispatch (the reference's call_model_server,
+        # backend/core/views.py:97-114): when configured and no embedded
+        # worker claims jobs, each created job is pushed to the orchestrator
+        # over HTTP with the shared token. Unlike the reference, a failed
+        # push marks the job FAILED instead of leaving it PENDING forever.
+        self.orch_url = orch_url
+        self.orch_token = orch_token
 
     # ------------------------------------------------------------ helpers
     def _current_user(self, cookies: Dict[str, str]) -> Optional[Dict]:
@@ -273,7 +281,46 @@ done {self.store.count_jobs('DONE')} · failed {self.store.count_jobs('FAILED')}
         user = self._current_user(cookies)
         job = self.store.create_job(user["id"] if user else None, model_id,
                                     input_path)
+        if self.orch_url:
+            import threading
+            threading.Thread(target=self._push_to_orchestrator,
+                             args=(job["id"],), daemon=True).start()
         return 201, self._serialize_job(job), []
+
+    def _push_to_orchestrator(self, job_id: str) -> None:
+        """POST {job_id, vision_model_id, input_image} multipart to the
+        orchestrator, expecting 202 (the reference's contract,
+        views.py:107-110). Non-202/unreachable -> FAILED with a message."""
+        import urllib.error
+        import urllib.request
+
+        job = self.store.get_job(job_id)
+        try:
+            with open(job["input_image"], "rb") as f:
+                image = f.read()
+            boundary = "vitsegorch"
+            parts = []
+            for name, value in (("job_id", job["id"]),
+                                ("vision_model_id", str(job["vision_model"]))):
+                parts.append(
+                    f'--{boundary}\r\nContent-Disposition: form-data; '
+                    f'name="{name}"\r\n\r\n{value}\r\n'.encode())
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; '
+                f'name="input_image"; filename="input"\r\n'
+                f'Content-Type: application/octet-stream\r\n\r\n'.encode()
+                + image + b"\r\n")
+            parts.append(f"--{boundary}--\r\n".encode())
+            req = urllib.request.Request(self.orch_url, b"".join(parts))
+            req.add_header("Content-Type",
+                           f"multipart/form-data; boundary={boundary}")
+            req.add_header("X-ORCH-TOKEN", self.orch_token)
+            resp = urllib.request.urlopen(req, timeout=60)
+            if resp.status != 202:
+                self.store.fail_job(job_id,
+                                    f"orchestrator returned {resp.status}")
+        except Exception as exc:
+            self.store.fail_job(job_id, f"orchestrator unreachable: {exc}")
 
     def _complete_job(self, job_id, headers, body):
         job = self.store.get_job(job_id)
@@ -383,10 +430,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def create_server(store: JobStore, *, host: str = "127.0.0.1", port: int = 0,
-                  worker=None) -> Tuple[ThreadingHTTPServer, ServingApp]:
+                  worker=None, orch_url=None,
+                  orch_token: str = "") -> Tuple[ThreadingHTTPServer, ServingApp]:
     """Build (server, app); caller starts serve_forever (usually in a
     thread) and the worker separately."""
-    app = ServingApp(store, worker=worker)
+    app = ServingApp(store, worker=worker, orch_url=orch_url,
+                     orch_token=orch_token)
     handler = type("BoundHandler", (_Handler,), {"app": app})
     server = ThreadingHTTPServer((host, port), handler)
     return server, app
@@ -405,6 +454,11 @@ def main():  # pragma: no cover - manual entry point
     parser.add_argument("--no-worker", action="store_true",
                         help="external-orchestrator mode: jobs stay PENDING "
                              "until POST /complete/")
+    parser.add_argument("--orch-url", default=os.environ.get("ORCH_URL"),
+                        help="push created jobs to this orchestrator URL "
+                             "(multipart, X-ORCH-TOKEN header)")
+    parser.add_argument("--orch-token",
+                        default=os.environ.get("ORCH_SHARED_TOKEN", ""))
     args = parser.parse_args()
 
     store = JobStore(args.db, media_root=args.media_root)
@@ -417,7 +471,8 @@ def main():  # pragma: no cover - manual entry point
         worker = InferenceWorker(store)
         worker.start()
     server, _ = create_server(store, host=args.host, port=args.port,
-                              worker=worker)
+                              worker=worker, orch_url=args.orch_url,
+                              orch_token=args.orch_token)
     print(f"serving on {args.host}:{args.port}")
     try:
         server.serve_forever()
