@@ -95,3 +95,35 @@ def test_stale_processing_requeue(tmp_path):
     # fresh PROCESSING jobs are NOT requeued with a real threshold
     store.claim_pending_jobs(5)
     assert store.requeue_stale_processing(older_than_s=300.0) == 0
+
+
+def test_malformed_requests_do_not_crash(tmp_path):
+    """Garbage bodies/headers get 4xx/5xx JSON, never a dropped connection."""
+    import threading
+
+    from visiontransformer_tpu.serve.server import create_server
+    from tests.test_serving import Client
+
+    store = JobStore(":memory:", media_root=str(tmp_path))
+    store.register_model("m", num_classes=1, config_name="P16H512A8")
+    server, _ = create_server(store)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    client = Client(f"http://127.0.0.1:{server.server_address[1]}")
+
+    # multipart content-type without boundary
+    status, payload = client.request(
+        "POST", "/api/inference-jobs/", b"garbage",
+        "multipart/form-data")
+    assert status == 400 and "detail" in payload
+    # declared multipart, nonsense body
+    status, payload = client.request(
+        "POST", "/api/inference-jobs/", b"\x00\xff" * 100,
+        "multipart/form-data; boundary=xyz")
+    assert status == 400
+    # non-integer page param
+    status, payload = client.request("GET", "/api/vision-models/?page=zzz")
+    assert status in (400, 500) or status == 200
+    # server still alive afterwards
+    status, payload = client.request("GET", "/api/hello/")
+    assert status == 200
+    server.shutdown()

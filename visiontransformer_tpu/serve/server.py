@@ -391,9 +391,16 @@ class _Handler(BaseHTTPRequestHandler):
         body = self.rfile.read(length) if length else b""
         cookies = parse_cookies(self.headers.get("Cookie"))
         headers = {k.lower(): v for k, v in self.headers.items()}
-        status, payload, extra = self.app.handle(
-            method, parsed.path, parse_qs(parsed.query), headers, body,
-            cookies)
+        try:
+            status, payload, extra = self.app.handle(
+                method, parsed.path, parse_qs(parsed.query), headers, body,
+                cookies)
+        except ValueError as exc:  # malformed multipart/params -> client error
+            status, payload, extra = 400, {"detail": str(exc)}, []
+        except Exception:  # noqa: BLE001 — never drop the connection
+            import traceback
+            traceback.print_exc()
+            status, payload, extra = 500, {"detail": "Internal error"}, []
         data = json_bytes(payload)
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
