@@ -60,3 +60,19 @@ def test_resize_nearest_pil(rng):
                                                       Image.NEAREST))
     got = native.resize_nearest_pil_u8(img, (256, 224))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_pure_python_fallbacks_match_scipy(rng):
+    """The no-native, no-scipy fallback path (ops/morphology) is correct."""
+    from visiontransformer_tpu.ops.morphology import connected_components_np
+
+    mask = rng.random((24, 24)) > 0.6
+    exp_labels, exp_n = scipy_ndimage.label(mask)
+    labels, n = connected_components_np(mask)
+    assert n == exp_n
+    mapping = {}
+    for a, b in zip(labels.reshape(-1), exp_labels.reshape(-1)):
+        if a == 0 or b == 0:
+            assert (a == 0) == (b == 0)
+            continue
+        assert mapping.setdefault(int(a), int(b)) == b

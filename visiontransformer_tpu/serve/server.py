@@ -234,7 +234,7 @@ class ServingApp:
         worker = self.worker
         worker_line = (f"embedded worker: {worker.processed} jobs processed"
                        if worker else "external-orchestrator mode (no worker)")
-        return f"""<!doctype html><html><head><title>vitseg admin</title>
+        return f"""<!doctype html><html lang="en"><head><title>vitseg admin</title>
 <style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
 td,th{{border:1px solid #ccc;padding:4px 8px;font-size:13px}}</style></head>
 <body><h1>visiontransformer_tpu — operations</h1>
