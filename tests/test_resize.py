@@ -44,3 +44,27 @@ def test_nearest_matches_pil(rng, in_size, out_size):
         Image.fromarray(x).resize((out_size, out_size), Image.NEAREST))
     got = np.asarray(resize_nearest_pil(jnp.asarray(x), (out_size, out_size)))
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(224, 224), (256, 224),
+                                              (1024, 224), (224, 512),
+                                              (99, 101), (640, 480)])
+def test_nearest_pil_fuzz(rng, in_size, out_size):
+    """Bit-exactness across irregular ratios (incl. the incremental-
+    accumulation boundary cases)."""
+    x = rng.integers(0, 255, (in_size, in_size)).astype(np.uint8)
+    expected = np.asarray(
+        Image.fromarray(x).resize((out_size, out_size), Image.NEAREST))
+    got = np.asarray(resize_nearest_pil(jnp.asarray(x), (out_size, out_size)))
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(14, 224), (28, 448), (32, 512),
+                                              (7, 99)])
+def test_bilinear_upsample_fuzz(rng, in_size, out_size):
+    """The seg-head upsample ratios used across the sweep configs."""
+    x = rng.standard_normal((1, 17, in_size, in_size)).astype(np.float32)
+    expected = F.interpolate(torch.from_numpy(x), size=(out_size, out_size),
+                             mode="bilinear", align_corners=False).numpy()
+    got = np.asarray(resize_bilinear(jnp.asarray(x), (out_size, out_size)))
+    np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
