@@ -91,3 +91,24 @@ def test_predict_image_contract(rng):
         assert 0 <= y0 <= y1 < 32 and 0 <= x0 <= x1 < 32
         assert det["class_id"] in result["classes"]
         assert det["class_id"] != 0  # background skipped
+
+
+def test_demo_composite_render(tmp_path, rng):
+    from visiontransformer_tpu.evaluation.demo import (
+        make_predict_fn,
+        predict_image,
+        render_demo_composite,
+    )
+    from visiontransformer_tpu.models.vitseg import vitseg_init
+
+    cfg = ViTSegConfig(vit=TINY, num_classes=6)
+    params = vitseg_init(jax.random.PRNGKey(2), cfg)
+    image = rng.random((32, 32, 3)).astype(np.float32)
+    result = predict_image(params, cfg, image,
+                           predict_fn=make_predict_fn(cfg),
+                           class_names=[f"c{i}" for i in range(6)])
+    out = str(tmp_path / "demo.png")
+    render_demo_composite(image, result, out,
+                          class_names=[f"c{i}" for i in range(6)],
+                          title="smoke")
+    assert os.path.getsize(out) > 5000
