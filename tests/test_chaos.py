@@ -31,6 +31,19 @@ class FlakyRunner:
             raise RuntimeError("injected inference fault")
         return np.zeros(images.shape[:3], np.int32)
 
+    def dispatch(self, images):
+        runner = self
+
+        class _Pending:
+            def resolve(self):
+                return runner.predict(images)
+
+        # faults can fire at dispatch OR at resolve time
+        if runner.calls % (runner.fail_every * 2) == 1 and runner.calls > 0:
+            runner.calls += 1
+            raise RuntimeError("injected inference fault (dispatch)")
+        return _Pending()
+
 
 def test_no_job_left_behind(tmp_path, monkeypatch):
     store = JobStore(":memory:", media_root=str(tmp_path))

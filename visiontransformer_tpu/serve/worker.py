@@ -80,21 +80,46 @@ class ModelRunner:
             return load_lightning_checkpoint(ckpt, self.cfg)
         return vitseg_init(jax.random.PRNGKey(0), self.cfg)
 
-    def predict(self, images: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) float32 -> (B, H, W) int32 masks; pads B to bucket."""
+    def dispatch(self, images: np.ndarray):
+        """(B, H, W, 3) float32 -> async device masks handle (padded to a
+        bucket). Call resolve() on the handle to get (B, H, W) int32."""
         b = images.shape[0]
         bucket = next((s for s in BUCKETS if s >= b), BUCKETS[-1])
         if b < bucket:
             pad = np.zeros((bucket - b,) + images.shape[1:], images.dtype)
             images = np.concatenate([images, pad])
-        masks = np.asarray(self._forward(self.params, jnp.asarray(images)))
-        return masks[:b]
+        device_masks = self._forward(self.params, jnp.asarray(images))
+        return _PendingMasks(device_masks, b)
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        return self.dispatch(images).resolve()
+
+    def warmup(self) -> None:
+        """Compile every batch bucket up front: each bucket size is its own
+        XLA program, and compiling lazily mid-traffic stalls live jobs for
+        tens of seconds."""
+        for bucket in BUCKETS:
+            dummy = np.zeros((bucket, self.input_size, self.input_size, 3),
+                             np.float32)
+            self.predict(dummy)
+
+
+class _PendingMasks:
+    """Handle for an in-flight forward; resolve() blocks on the readback."""
+
+    def __init__(self, device_masks, n: int):
+        self._device_masks = device_masks
+        self._n = n
+
+    def resolve(self) -> np.ndarray:
+        return np.asarray(self._device_masks)[:self._n]
 
 
 class InferenceWorker:
     def __init__(self, store: JobStore, *, poll_interval: float = 0.02,
                  max_batch: int = BUCKETS[-1], linger: float = 0.005,
-                 compute_dtype: str = "bfloat16"):
+                 compute_dtype: str = "bfloat16", warmup: bool = True):
+        self.warmup = warmup
         self.store = store
         self.poll_interval = poll_interval
         self.max_batch = max_batch
@@ -122,10 +147,36 @@ class InferenceWorker:
         if self._thread:
             self._thread.join(timeout)
 
+    MAX_IN_FLIGHT = 2  # batches dispatched before blocking on a readback
+
     def _loop(self) -> None:
+        # Pipelined loop: dispatch up to MAX_IN_FLIGHT batches to the device
+        # before blocking on the oldest readback, so device compute overlaps
+        # host postprocessing and (on remote runtimes) dispatch latency.
+        from collections import deque
+
+        in_flight = deque()  # (runner, valid_jobs, pending_masks)
+
+        def drain_one():
+            runner, valid_jobs, pending = in_flight.popleft()
+            try:
+                masks = pending.resolve()
+            except Exception as exc:
+                for job in valid_jobs:
+                    self.store.fail_job(job["id"], f"inference error: {exc}")
+                return
+            for job, mask in zip(valid_jobs, masks):
+                try:
+                    self._finish_job(runner, job, mask)
+                except Exception as exc:
+                    self.store.fail_job(job["id"],
+                                        f"postprocess error: {exc}")
+
         while not self._stop.is_set():
             jobs = self.store.claim_pending_jobs(self.max_batch)
             if not jobs:
+                while in_flight:
+                    drain_one()
                 self._stop.wait(self.poll_interval)
                 continue
             if len(jobs) < self.max_batch and self.linger > 0:
@@ -133,7 +184,13 @@ class InferenceWorker:
                 jobs += self.store.claim_pending_jobs(
                     self.max_batch - len(jobs))
             for model_id, group in _group_by_model(jobs):
-                self._process_group(model_id, group)
+                entry = self._dispatch_group(model_id, group)
+                if entry is not None:
+                    in_flight.append(entry)
+                while len(in_flight) > self.MAX_IN_FLIGHT:
+                    drain_one()
+        while in_flight:
+            drain_one()
 
     # ------------------------------------------------------------- compute
     def _runner(self, model_id: int) -> ModelRunner:
@@ -141,17 +198,20 @@ class InferenceWorker:
             row = self.store.get_model(model_id)
             if row is None:
                 raise KeyError(f"unknown vision model {model_id}")
-            self._runners[model_id] = ModelRunner(
-                row, compute_dtype=self.compute_dtype)
+            runner = ModelRunner(row, compute_dtype=self.compute_dtype)
+            if self.warmup:
+                runner.warmup()
+            self._runners[model_id] = runner
         return self._runners[model_id]
 
-    def _process_group(self, model_id: int, jobs: List[Dict]) -> None:
+    def _dispatch_group(self, model_id: int, jobs: List[Dict]):
+        """Decode + dispatch one batch; returns an in-flight entry or None."""
         try:
             runner = self._runner(model_id)
         except Exception as exc:  # model load failure fails the whole group
             for job in jobs:
                 self.store.fail_job(job["id"], f"model load error: {exc}")
-            return
+            return None
 
         images, valid_jobs = [], []
         for job in jobs:
@@ -164,19 +224,14 @@ class InferenceWorker:
                 self.store.fail_job(job["id"], f"image decode error: {exc}")
 
         if not valid_jobs:
-            return
+            return None
         try:
-            masks = runner.predict(np.stack(images))
+            pending = runner.dispatch(np.stack(images))
         except Exception as exc:
             for job in valid_jobs:
                 self.store.fail_job(job["id"], f"inference error: {exc}")
-            return
-
-        for job, mask in zip(valid_jobs, masks):
-            try:
-                self._finish_job(runner, job, mask)
-            except Exception as exc:
-                self.store.fail_job(job["id"], f"postprocess error: {exc}")
+            return None
+        return runner, valid_jobs, pending
 
     def _finish_job(self, runner: ModelRunner, job: Dict,
                     mask: np.ndarray) -> None:
