@@ -466,6 +466,9 @@ def main():  # pragma: no cover - manual entry point
                              "(multipart, X-ORCH-TOKEN header)")
     parser.add_argument("--orch-token",
                         default=os.environ.get("ORCH_SHARED_TOKEN", ""))
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip pre-compiling batch buckets at model "
+                             "load (faster startup, slower first jobs)")
     args = parser.parse_args()
 
     store = JobStore(args.db, media_root=args.media_root)
@@ -475,7 +478,7 @@ def main():  # pragma: no cover - manual entry point
                              description="ViT-B/16 multiclass damage model")
     worker = None
     if not args.no_worker:
-        worker = InferenceWorker(store)
+        worker = InferenceWorker(store, warmup=not args.no_warmup)
         worker.start()
     server, _ = create_server(store, host=args.host, port=args.port,
                               worker=worker, orch_url=args.orch_url,
