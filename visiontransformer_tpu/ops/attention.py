@@ -62,7 +62,9 @@ def multi_head_attention(q, k, v, *, implementation: str = "auto",
         from visiontransformer_tpu.ops.flash_attention import flash_attention
         if deterministic or dropout_rate == 0.0:
             return flash_attention(q, k, v)
-        seed = jax.random.randint(dropout_key, (), 0, 2**31 - 1)
+        # Seed rides through a float32 carrier (custom-vjp plumbing); stay
+        # within f32-exact integer range.
+        seed = jax.random.randint(dropout_key, (), 0, 2**23)
         return flash_attention(q, k, v, dropout_rate=dropout_rate,
                                dropout_seed=seed)
     if implementation == "xla":
