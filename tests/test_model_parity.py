@@ -134,7 +134,8 @@ def test_gradient_parity_with_torch(rng):
                                   jnp.asarray(y))
 
     loss_j, grads = jax.value_and_grad(loss_fn)(params)
-    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-4)
 
     # compare a representative set of gradient tensors
     tg = {k: v.grad.numpy() for k, v in torch_model.named_parameters()
