@@ -14,6 +14,8 @@ import os
 import re
 from typing import Any, Optional
 
+import numpy as np
+
 import orbax.checkpoint as ocp
 
 
@@ -28,9 +30,59 @@ def save_checkpoint(directory: str, tree: Any, *, epoch: int, step: int) -> str:
     return path
 
 
-def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+def _place_like(target_leaf, raw_leaf):
+    """Give a freshly-restored array the target leaf's dtype and placement
+    (checkpoints restored onto a mesh must land sharded, not replicated)."""
+    import jax
+
+    arr = np.asarray(raw_leaf)
+    if hasattr(target_leaf, "dtype"):
+        arr = arr.astype(target_leaf.dtype)
+    if isinstance(target_leaf, jax.Array):
+        return jax.device_put(arr, target_leaf.sharding)
+    return arr
+
+
+def restore_checkpoint(path: str, target: Optional[Any] = None, *,
+                       partial: bool = True) -> Any:
+    """Restore a checkpoint onto ``target``.
+
+    Orbax's StandardCheckpointer demands an exact structure match; with
+    ``partial=True`` (default) dict-rooted targets are instead intersected
+    with the on-disk tree at the top level: keys present on disk are
+    restored (placed like the target's leaves), keys absent on disk keep the
+    target's values. This lets new code that checkpoints
+    {params, opt_state, step} load older params-only checkpoints and vice
+    versa (the reference's Lightning resume is similarly tolerant of
+    strict=False loads)."""
+    import jax
+
+    path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path), target)
+        if target is None:
+            return ckptr.restore(path)
+        try:
+            return ckptr.restore(path, target)
+        except ValueError:
+            if not (partial and isinstance(target, dict)):
+                raise
+            raw = ckptr.restore(path)
+    if not isinstance(raw, dict):
+        raise ValueError(
+            f"checkpoint at {path} is not a dict-rooted tree; cannot "
+            "partially restore onto the given target")
+    out = {}
+    for key, tval in target.items():
+        if key in raw:
+            try:
+                out[key] = jax.tree.map(_place_like, tval, raw[key])
+            except (TypeError, ValueError):
+                if key == "params":
+                    raise  # param-structure mismatch is never recoverable
+                out[key] = tval  # e.g. opt_state from a different optimizer
+        else:
+            out[key] = tval
+    return out
 
 
 def get_latest_checkpoint(directory: str) -> Optional[str]:

@@ -81,10 +81,13 @@ class Trainer:
         if self.mesh is not None:
             dp = self.mesh.shape[  # noqa: E501 — clear error beats XLA's divisibility traceback
                 "data"] if "data" in self.mesh.shape else 1
-            if train_cfg.batch_size % dp != 0:
+            micro = train_cfg.batch_size // train_cfg.accumulate_grad_batches
+            if micro % dp != 0:
                 raise ValueError(
-                    f"batch_size={train_cfg.batch_size} must be divisible by "
-                    f"the data-parallel mesh axis ({dp} devices); pick a "
+                    f"micro-batch {micro} (batch_size="
+                    f"{train_cfg.batch_size} / accumulate_grad_batches="
+                    f"{train_cfg.accumulate_grad_batches}) must be divisible "
+                    f"by the data-parallel mesh axis ({dp} devices); pick a "
                     f"larger batch or a smaller mesh (TrainConfig.mesh_shape)")
 
         self._train_step = None
@@ -246,11 +249,28 @@ class Trainer:
             path = resume_from
             if _os.path.isdir(path) and get_latest_checkpoint(path):
                 path = get_latest_checkpoint(path)
+            # Full resume restores optimizer moments too (Lightning's
+            # fit(ckpt_path=...) semantics, reference
+            # model/CE/trainCurrentViTmodel.py:73); params-only checkpoints
+            # from older saves keep fresh moments (partial restore).
+            target_opt = state.opt_state
+            if self.mesh is not None:
+                # Orbax restores onto the target leaves' shardings; the
+                # fresh opt_state's scalars (Adam count, injected LR) are
+                # uncommitted and would come back pinned to one device,
+                # clashing with mesh-wide params in the update step —
+                # commit them replicated first (sharded moments already
+                # carry their mesh placement and pass through unchanged).
+                rep = replicated(self.mesh)
+                target_opt = jax.tree.map(
+                    lambda x: x if (isinstance(x, jax.Array) and x.committed)
+                    else jax.device_put(x, rep), target_opt)
             restored = restore_checkpoint(
                 path, {"params": state.params,
+                       "opt_state": target_opt,
                        "step": np.zeros((), np.int32)})
             state = TrainState(params=restored["params"],
-                               opt_state=state.opt_state,
+                               opt_state=restored["opt_state"],
                                step=jnp.asarray(restored["step"]))
             ckpt_epoch = parse_epoch(path)
             start_epoch = (ckpt_epoch + 1) if ckpt_epoch is not None else 0
@@ -320,6 +340,7 @@ class Trainer:
                 from visiontransformer_tpu.ckpt.io import save_checkpoint
                 save_checkpoint(checkpoint_dir,
                                 {"params": state.params,
+                                 "opt_state": state.opt_state,
                                  "step": np.asarray(global_step)},
                                 epoch=epoch, step=global_step)
 
