@@ -1,129 +1,150 @@
-"""Security-surface tests.
+"""Security hardening regression tests (round-1 advisor findings).
 
-The reference documents manual security testing in a PDF artifact
-('Pruebas de Seguridad.pdf', SURVEY.md §2.5); here the same concerns are
-executable: session-token tampering, media path traversal, injection via
-query params, password hashing, stale-job recovery.
+Covers: admin page auth gate + HTML escaping, upload-extension whitelist,
+media-serving content-type hardening, byte-exact multipart parsing, and
+prefetch exception propagation.
 """
 
+import io
+import threading
+
 import numpy as np
+import pytest
+from PIL import Image
 
-from visiontransformer_tpu.serve.auth import SessionSigner
-from visiontransformer_tpu.serve.server import ServingApp
-from visiontransformer_tpu.serve.store import (
-    JobStore,
-    hash_password,
-    verify_password,
-)
+from visiontransformer_tpu.serve.store import JobStore
+from visiontransformer_tpu.serve.server import ServingApp, create_server
+from visiontransformer_tpu.serve.http import parse_multipart
 
 
-def _app(tmp_path):
-    store = JobStore(":memory:", media_root=str(tmp_path))
-    store.register_model("m", num_classes=1, config_name="P16H512A8")
-    store.create_user("alice", "hunter2hunter2")
-    return ServingApp(store), store
+def _png_bytes(size=8):
+    img = Image.fromarray(np.zeros((size, size, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
 
 
-def test_session_token_tampering(tmp_path):
-    app, _ = _app(tmp_path)
-    token = app.signer.create("alice")
-    # valid token authenticates
-    assert app._current_user({"sessionid": token})["username"] == "alice"
-    # username swap with same signature is rejected
-    parts = token.split(":")
-    forged = ":".join(["mallory"] + parts[1:])
-    assert app._current_user({"sessionid": forged}) is None
-    # expired token rejected
-    import time
-    old = app.signer.create("alice", now=time.time() - 100 * 24 * 3600)
-    assert app.signer.verify(old) is None
-    # foreign-key signature rejected
-    other = SessionSigner().create("alice")
-    assert app.signer.verify(other) is None
+def _multipart(fields, files):
+    boundary = "secboundary42"
+    parts = []
+    for k, v in fields.items():
+        parts.append(f'--{boundary}\r\nContent-Disposition: form-data; '
+                     f'name="{k}"\r\n\r\n{v}\r\n'.encode())
+    for k, (fname, content) in files.items():
+        parts.append(f'--{boundary}\r\nContent-Disposition: form-data; '
+                     f'name="{k}"; filename="{fname}"\r\n'
+                     f'Content-Type: application/octet-stream\r\n\r\n'.encode()
+                     + content + b"\r\n")
+    parts.append(f"--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
 
 
-def test_status_filter_injection(tmp_path):
-    app, store = _app(tmp_path)
-    store.create_job(1, 1, "/tmp/x.png")
-    token = app.signer.create("alice")
-    cookies = {"sessionid": token}
-    # hostile ?status= values are parameterized, not interpolated
-    for evil in ["DONE'; DROP TABLE jobs;--", "PENDING OR 1=1", "%'--"]:
-        status, payload, _ = app.handle(
-            "GET", "/api/inference-jobs/", {"status": [evil]}, {}, b"",
-            cookies)
-        assert status == 200
-        assert payload["count"] == 0  # no match, no injection
-    # table still intact
-    assert store.count_jobs() == 1
+@pytest.fixture()
+def server(tmp_path):
+    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
+    store.register_model("m1", num_classes=5, config_name="P16H512A8",
+                         input_size=32)
+    srv, app = create_server(store, worker=None)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", store, app
+    srv.shutdown()
 
 
-def test_password_hashing_properties():
-    h1 = hash_password("correct horse")
-    h2 = hash_password("correct horse")
-    assert h1 != h2  # salted
-    assert verify_password("correct horse", h1)
-    assert not verify_password("wrong", h1)
-    assert h1.startswith("pbkdf2$")
-    assert "correct" not in h1
+def _request(base, method, path, body=None, content_type=None, headers=None):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(base + path, data=body, method=method)
+    if content_type:
+        req.add_header("Content-Type", content_type)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        resp = urllib.request.urlopen(req)
+        return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
 
 
-def test_job_ownership_isolation(tmp_path):
-    app, store = _app(tmp_path)
-    store.create_user("bob", "bobpassword1")
-    job = store.create_job(1, 1, "/tmp/a.png")  # alice's job
-    bob_cookie = {"sessionid": app.signer.create("bob")}
-    status, _, _ = app.handle("GET", f"/api/inference-jobs/{job['id']}/",
-                              {}, {}, b"", bob_cookie)
-    assert status == 404  # bob cannot see alice's job (not even a 403 leak)
-    alice_cookie = {"sessionid": app.signer.create("alice")}
-    status, payload, _ = app.handle(
-        "GET", f"/api/inference-jobs/{job['id']}/", {}, {}, b"",
-        alice_cookie)
-    assert status == 200 and payload["id"] == job["id"]
+def test_admin_requires_auth(server):
+    base, store, app = server
+    status, _, body = _request(base, "GET", "/admin/")
+    assert status == 403
+    assert b"<html" not in body  # no dashboard content leaked
 
 
-def test_stale_processing_requeue(tmp_path):
-    _, store = _app(tmp_path)
-    job = store.create_job(None, 1, "/tmp/a.png")
-    claimed = store.claim_pending_jobs(5)
-    assert len(claimed) == 1
-    # simulated worker death: nothing completes the job
-    assert store.get_job(job["id"])["status"] == "PROCESSING"
-    assert store.requeue_stale_processing(older_than_s=0.0) == 1
-    assert store.get_job(job["id"])["status"] == "PENDING"
-    # fresh PROCESSING jobs are NOT requeued with a real threshold
-    store.claim_pending_jobs(5)
-    assert store.requeue_stale_processing(older_than_s=300.0) == 0
+def test_admin_escapes_user_controlled_fields():
+    store = JobStore(":memory:", media_root="/tmp/vtpu_sec_media")
+    store.register_model('<img src=x onerror=alert(1)>', num_classes=5,
+                         config_name="P16H512A8")
+    store.create_user('<script>steal()</script>', "pw123456")
+    job = store.create_job(1, 1, "/tmp/x.png")
+    store.fail_job(job["id"], '<svg onload=alert(2)> boom')
+
+    app = ServingApp(store)
+    html = app.render_admin()
+    assert "<script>steal()" not in html
+    assert "<img src=x" not in html
+    assert "<svg onload" not in html
+    assert "&lt;script&gt;steal()" in html  # escaped, still visible
 
 
-def test_malformed_requests_do_not_crash(tmp_path):
-    """Garbage bodies/headers get 4xx/5xx JSON, never a dropped connection."""
-    import threading
+def test_upload_extension_whitelisted(server):
+    base, store, app = server
+    body, ctype = _multipart(
+        {"vision_model": "1"},
+        {"input_image": ("evil.html", b"<script>alert(1)</script>")})
+    status, _, raw = _request(base, "POST", "/api/inference-jobs/", body,
+                              ctype)
+    assert status == 201, raw
+    import json
 
-    from visiontransformer_tpu.serve.server import create_server
-    from tests.test_serving import Client
+    job = json.loads(raw)
+    stored = store.get_job(job["id"])["input_image"]
+    assert stored.endswith(".png"), stored  # .html was rejected
 
-    store = JobStore(":memory:", media_root=str(tmp_path))
-    store.register_model("m", num_classes=1, config_name="P16H512A8")
-    server, _ = create_server(store)
-    threading.Thread(target=server.serve_forever, daemon=True).start()
-    client = Client(f"http://127.0.0.1:{server.server_address[1]}")
 
-    # multipart content-type without boundary
-    status, payload = client.request(
-        "POST", "/api/inference-jobs/", b"garbage",
-        "multipart/form-data")
-    assert status == 400 and "detail" in payload
-    # declared multipart, nonsense body
-    status, payload = client.request(
-        "POST", "/api/inference-jobs/", b"\x00\xff" * 100,
-        "multipart/form-data; boundary=xyz")
-    assert status == 400
-    # non-integer page param
-    status, payload = client.request("GET", "/api/vision-models/?page=zzz")
-    assert status in (400, 500) or status == 200
-    # server still alive afterwards
-    status, payload = client.request("GET", "/api/hello/")
+def test_media_served_with_nosniff_and_no_active_types(server, tmp_path):
+    base, store, app = server
+    # Plant a non-image file in media (simulates any stored artifact).
+    blob_dir = tmp_path / "media"
+    blob_dir.mkdir(exist_ok=True)
+    (blob_dir / "weird.bin").write_bytes(b"\x00\x01binary")
+    png = blob_dir / "ok.png"
+    png.write_bytes(_png_bytes())
+
+    status, headers, _ = _request(base, "GET", "/media/weird.bin")
     assert status == 200
-    server.shutdown()
+    assert headers["Content-Type"] == "application/octet-stream"
+    assert headers["X-Content-Type-Options"] == "nosniff"
+    assert headers.get("Content-Disposition") == "attachment"
+
+    status, headers, _ = _request(base, "GET", "/media/ok.png")
+    assert status == 200
+    assert headers["Content-Type"] == "image/png"
+    assert "Content-Disposition" not in headers
+
+
+def test_multipart_preserves_trailing_crlf_bytes():
+    # File content legitimately ending in \r\n must round-trip byte-exact
+    # (only the single delimiter CRLF is removed).
+    payload = b"line1\r\nline2\r\n\r\n"
+    body, ctype = _multipart({}, {"f": ("data.bin", payload)})
+    _, files = parse_multipart(body, ctype)
+    assert files["f"].content == payload
+
+
+def test_prefetch_propagates_producer_exception():
+    from visiontransformer_tpu.data.pipeline import prefetch
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)

@@ -53,8 +53,9 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as exc:  # propagate into the consumer thread
+            q.put((sentinel, exc))
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -62,4 +63,6 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is sentinel:
+            raise item[1]
         yield item

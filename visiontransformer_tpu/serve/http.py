@@ -35,8 +35,14 @@ def parse_multipart(body: bytes, content_type: str
     files: Dict[str, UploadedFile] = {}
 
     for chunk in body.split(delim):
-        chunk = chunk.strip(b"\r\n")
-        if not chunk or chunk == b"--":
+        # Remove exactly the delimiter-adjacent CRLF pair on each side —
+        # NOT .strip(), which would corrupt file contents that legitimately
+        # end in 0x0D/0x0A bytes.
+        if chunk.startswith(b"\r\n"):
+            chunk = chunk[2:]
+        if chunk.endswith(b"\r\n"):
+            chunk = chunk[:-2]
+        if not chunk or chunk.rstrip(b"\r\n-") == b"":
             continue
         if b"\r\n\r\n" not in chunk:
             continue

@@ -120,3 +120,87 @@ def openapi_schema() -> dict:
             "PaginatedModels": _paginated("#/components/schemas/VisionModel"),
         }},
     }
+
+
+# ---------------------------------------------------------------- doc pages
+# The reference serves swagger-ui and redoc UIs over the schema
+# (reference backend/project/urls.py:30-32 via drf-spectacular). This
+# deployment has no egress, so instead of CDN shells these pages embed a
+# small self-contained renderer that fetches /api/schema/ and draws the
+# endpoint/operation/response tables client-side.
+
+_DOC_PAGE = """<!doctype html><html lang="en"><head>
+<meta charset="utf-8"><title>{title}</title>
+<style>
+body{{font-family:{font};margin:0;color:#1a1a2e;background:#fafafa}}
+header{{background:{accent};color:#fff;padding:16px 32px}}
+header h1{{margin:0;font-size:20px}} main{{max-width:960px;margin:0 auto;padding:24px 32px}}
+.op{{background:#fff;border:1px solid #e0e0e8;border-radius:6px;margin:12px 0;overflow:hidden}}
+.op-head{{display:flex;gap:12px;align-items:center;padding:10px 14px;cursor:pointer}}
+.method{{font-weight:700;font-size:12px;padding:3px 10px;border-radius:4px;color:#fff;min-width:44px;text-align:center}}
+.get{{background:#2d7ff9}}.post{{background:#2fa36b}}.put{{background:#d88a1f}}.delete{{background:#d64545}}
+.path{{font-family:ui-monospace,monospace;font-size:14px}}
+.summary{{color:#666;font-size:13px;margin-left:auto}}
+.op-body{{display:none;border-top:1px solid #eee;padding:12px 16px;font-size:13px}}
+.op.open .op-body{{display:block}}
+table{{border-collapse:collapse;width:100%;margin:6px 0}}
+td,th{{border:1px solid #e4e4ec;padding:4px 10px;text-align:left;font-size:12px}}
+pre{{background:#f4f4f8;padding:10px;border-radius:4px;overflow:auto;font-size:12px}}
+h2{{font-size:15px;margin:24px 0 4px}}
+</style></head><body>
+<header><h1>{title}</h1></header><main id="root">Loading schema…</main>
+<script>
+fetch('/api/schema/').then(function(r){{return r.json()}}).then(function(s){{
+  var root=document.getElementById('root');root.innerHTML='';
+  var info=document.createElement('p');
+  info.textContent=(s.info&&s.info.title||'')+' '+(s.info&&s.info.version||'');
+  root.appendChild(info);
+  Object.keys(s.paths).forEach(function(p){{
+    Object.keys(s.paths[p]).forEach(function(m){{
+      if(m==='parameters')return;
+      var op=s.paths[p][m];
+      var box=document.createElement('div');box.className='op';
+      var head=document.createElement('div');head.className='op-head';
+      var badge=document.createElement('span');
+      badge.className='method '+m;badge.textContent=m.toUpperCase();
+      var path=document.createElement('span');path.className='path';path.textContent=p;
+      var sum=document.createElement('span');sum.className='summary';
+      sum.textContent=op.summary||'';
+      head.appendChild(badge);head.appendChild(path);head.appendChild(sum);
+      var body=document.createElement('div');body.className='op-body';
+      var rt=document.createElement('table');
+      rt.innerHTML='<tr><th>status</th><th>description</th></tr>';
+      Object.keys(op.responses||{{}}).forEach(function(code){{
+        var tr=document.createElement('tr');
+        var td1=document.createElement('td');td1.textContent=code;
+        var td2=document.createElement('td');
+        td2.textContent=op.responses[code].description||'';
+        tr.appendChild(td1);tr.appendChild(td2);rt.appendChild(tr);
+      }});
+      body.appendChild(rt);
+      head.onclick=function(){{box.classList.toggle('open')}};
+      box.appendChild(head);box.appendChild(body);root.appendChild(box);
+    }});
+  }});
+  var h2=document.createElement('h2');h2.textContent='Schemas';root.appendChild(h2);
+  var pre=document.createElement('pre');
+  pre.textContent=JSON.stringify(s.components&&s.components.schemas||{{}},null,2);
+  root.appendChild(pre);
+}}).catch(function(e){{
+  document.getElementById('root').textContent='Failed to load /api/schema/: '+e;
+}});
+</script></body></html>"""
+
+
+def swagger_ui_html() -> str:
+    """Interactive endpoint explorer (role of swagger-ui at
+    /api/schema/swagger-ui/, reference backend/project/urls.py:31)."""
+    return _DOC_PAGE.format(title="visiontransformer_tpu API — Swagger UI",
+                            accent="#1b5e20", font="sans-serif")
+
+
+def redoc_html() -> str:
+    """Reference-style documentation page (role of redoc at
+    /api/schema/redoc/, reference backend/project/urls.py:32)."""
+    return _DOC_PAGE.format(title="visiontransformer_tpu API — ReDoc",
+                            accent="#1a237e", font="Georgia,serif")

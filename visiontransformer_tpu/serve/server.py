@@ -49,6 +49,10 @@ from visiontransformer_tpu.serve.store import JobStore
 
 PAGE_SIZE = 9  # reference backend/project/settings.py:64
 
+# Extensions a job upload may be stored under (anything else -> .png).
+_IMAGE_EXTENSIONS = {".png", ".jpg", ".jpeg", ".bmp", ".gif", ".tif",
+                     ".tiff", ".webp"}
+
 
 class ServingApp:
     """Routing + handlers, independent of the HTTP plumbing (testable)."""
@@ -218,19 +222,30 @@ class ServingApp:
     # -------------------------------------------------------------- admin
     def render_admin(self) -> str:
         """Read-only operations dashboard (the role of the reference's
-        Django admin registrations, reference backend/core/admin.py:5-14)."""
+        Django admin registrations, reference backend/core/admin.py:5-14).
+
+        Every interpolated value is html.escape()d — usernames, model names,
+        and error messages (which echo exception text) are attacker-
+        influenced. Access is gated by session auth in the handler, matching
+        Django admin's staff-login requirement."""
+        import html as _html
+
+        def esc(v) -> str:
+            return _html.escape(str(v), quote=True)
+
         jobs = self.store.list_jobs()[:50]
         models = self.store.list_models()
         rows_j = "".join(
-            f"<tr><td>{j['id'][:8]}</td><td>{j['status']}</td>"
-            f"<td>{j['user_username'] or '-'}</td><td>{j['vision_model']}</td>"
-            f"<td>{j['created_at'][:19]}</td>"
-            f"<td>{(j['error_message'] or '')[:60]}</td></tr>"
+            f"<tr><td>{esc(j['id'][:8])}</td><td>{esc(j['status'])}</td>"
+            f"<td>{esc(j['user_username'] or '-')}</td>"
+            f"<td>{esc(j['vision_model'])}</td>"
+            f"<td>{esc(j['created_at'][:19])}</td>"
+            f"<td>{esc((j['error_message'] or '')[:60])}</td></tr>"
             for j in jobs)
         rows_m = "".join(
-            f"<tr><td>{m['id']}</td><td>{m['name']}</td>"
-            f"<td>{m['config_name']}</td><td>{m['num_classes']}</td>"
-            f"<td>{m['input_size']}</td></tr>" for m in models)
+            f"<tr><td>{esc(m['id'])}</td><td>{esc(m['name'])}</td>"
+            f"<td>{esc(m['config_name'])}</td><td>{esc(m['num_classes'])}</td>"
+            f"<td>{esc(m['input_size'])}</td></tr>" for m in models)
         worker = self.worker
         worker_line = (f"embedded worker: {worker.processed} jobs processed"
                        if worker else "external-orchestrator mode (no worker)")
@@ -271,7 +286,12 @@ done {self.store.count_jobs('DONE')} · failed {self.store.count_jobs('FAILED')}
         if self.store.get_model(model_id) is None:
             return 400, {"detail": f"unknown vision_model {model_id}"}, []
 
-        ext = os.path.splitext(upload.filename)[1] or ".png"
+        # Whitelist the stored extension: a client-supplied .html/.svg name
+        # would otherwise be served back as active content from the API
+        # origin (stored XSS). Unknown extensions fall back to .png.
+        ext = os.path.splitext(upload.filename)[1].lower()
+        if ext not in _IMAGE_EXTENSIONS:
+            ext = ".png"
         input_dir = os.path.join(self.store.media_root, "inputs")
         os.makedirs(input_dir, exist_ok=True)
         input_path = os.path.join(input_dir, f"{_uuid.uuid4()}{ext}")
@@ -379,11 +399,39 @@ class _Handler(BaseHTTPRequestHandler):
         parsed = urlparse(self.path)
         if parsed.path.startswith("/media/") and method == "GET":
             return self._serve_media(parsed.path)
+        if method == "GET" and parsed.path.rstrip("/") in (
+                "/api/schema/swagger-ui", "/api/schema/redoc"):
+            # Human-readable API docs (reference backend/project/urls.py:30-32).
+            from visiontransformer_tpu.serve.schema import (
+                redoc_html,
+                swagger_ui_html,
+            )
+            page = (swagger_ui_html() if "swagger" in parsed.path
+                    else redoc_html()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(page)))
+            self.send_header("X-Content-Type-Options", "nosniff")
+            self.end_headers()
+            self.wfile.write(page)
+            return
         if parsed.path.rstrip("/") == "/admin" and method == "GET":
+            # Gated behind session auth (Django admin requires staff login,
+            # reference backend/project/urls.py:24).
+            cookies = parse_cookies(self.headers.get("Cookie"))
+            if self.app._current_user(cookies) is None:
+                data = json_bytes({"detail": "Authentication required."})
+                self.send_response(403)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             html = self.app.render_admin().encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(html)))
+            self.send_header("X-Content-Type-Options", "nosniff")
             self.end_headers()
             self.wfile.write(html)
             return
@@ -421,11 +469,18 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        # Defense in depth vs stored XSS: never serve media as an active
+        # content type; force download for anything that isn't an image.
+        if not ctype.startswith("image/"):
+            ctype = "application/octet-stream"
         with open(full, "rb") as f:
             data = f.read()
         self.send_response(200)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(data)))
+        self.send_header("X-Content-Type-Options", "nosniff")
+        if not ctype.startswith("image/"):
+            self.send_header("Content-Disposition", "attachment")
         self.end_headers()
         self.wfile.write(data)
 
