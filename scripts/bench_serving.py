@@ -1,0 +1,135 @@
+"""End-to-end serving throughput benchmark (REST submit -> mask DONE).
+
+Stands up the full stack in one process — JobStore, dynamic-batching
+InferenceWorker on the real TPU, ThreadingHTTPServer — then drives it with
+concurrent HTTP clients: register/login, multipart job submit, poll until
+DONE. Reports jobs/s over the steady-state window.
+
+Round-1 number (commit a800dc7's harness): 22.5 jobs/s with 32 clients,
+ViT-B/16 @224. The raw model throughput at this config is far higher, so
+end-to-end is host/IO-bound — this harness is what measures whether the
+decode/postprocess offload actually closed the gap.
+"""
+
+import io
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from PIL import Image
+
+N_JOBS = 256
+N_CLIENTS = 32
+
+
+def make_client(base, username):
+    """Registered+logged-in opener with CSRF cookie."""
+    import http.cookiejar
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar))
+
+    def post_json(path, payload):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json",
+                     "X-CSRFToken": _csrf(jar)})
+        return opener.open(req)
+
+    def _csrf(jar):
+        for c in jar:
+            if c.name == "csrftoken":
+                return c.value
+        return ""
+
+    opener.open(base + "/api/csrf/")
+    post_json("/api/users/register/",
+              {"username": username, "password": "pw-123456"})
+    post_json("/api/users/login/",
+              {"username": username, "password": "pw-123456"})
+    return opener, jar, _csrf
+
+
+def submit_and_wait(opener, jar, csrf, base, png_bytes, model_id):
+    boundary = "----benchboundary"
+    body = io.BytesIO()
+    for name, value in (("vision_model", str(model_id)),):
+        body.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                   f"name=\"{name}\"\r\n\r\n{value}\r\n".encode())
+    body.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+               f"name=\"input_image\"; filename=\"img.png\"\r\n"
+               f"Content-Type: image/png\r\n\r\n".encode())
+    body.write(png_bytes)
+    body.write(f"\r\n--{boundary}--\r\n".encode())
+    req = urllib.request.Request(
+        base + "/api/inference-jobs/", data=body.getvalue(),
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}",
+                 "X-CSRFToken": csrf(jar)})
+    job = json.loads(opener.open(req).read())
+    job_id = job["id"]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        st = json.loads(opener.open(
+            base + f"/api/inference-jobs/{job_id}/").read())
+        if st["status"] in ("DONE", "FAILED"):
+            return st["status"]
+        time.sleep(0.05)
+    return "TIMEOUT"
+
+
+def main():
+    from visiontransformer_tpu.serve.store import JobStore
+    from visiontransformer_tpu.serve.worker import InferenceWorker
+    from visiontransformer_tpu.serve.server import create_server
+
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    store = JobStore(os.path.join(tmp, "db.sqlite"),
+                     media_root=os.path.join(tmp, "media"))
+    model_id = store.register_model(
+        "vit-b16-damage", num_classes=17, config_name="P16H768A12",
+        description="bench model")
+    worker = InferenceWorker(store, warmup=True)
+    server, _ = create_server(store, host="127.0.0.1", port=0, worker=worker)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    print("warming up model buckets (compiles all bucket programs)...")
+    worker.start()
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        (rng.random((384, 384, 3)) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    png_bytes = buf.getvalue()
+
+    print(f"driving {N_JOBS} jobs from {N_CLIENTS} clients...")
+    clients = [make_client(base, f"user{i}") for i in range(N_CLIENTS)]
+
+    results = []
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=N_CLIENTS) as pool:
+        futs = [pool.submit(submit_and_wait, *clients[i % N_CLIENTS],
+                            base, png_bytes, model_id)
+                for i in range(N_JOBS)]
+        results = [f.result() for f in futs]
+    dt = time.perf_counter() - t0
+
+    done = results.count("DONE")
+    print(f"{done}/{N_JOBS} DONE, {results.count('FAILED')} FAILED, "
+          f"{results.count('TIMEOUT')} TIMEOUT")
+    print(f"end-to-end: {N_JOBS / dt:.1f} jobs/s over {dt:.1f}s "
+          f"({N_CLIENTS} clients, ViT-B/16 @224)")
+    server.shutdown()
+    worker.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from visiontransformer_tpu.configs import ViTSegConfig
 from visiontransformer_tpu.models.vit import vit_apply, vit_init
 from visiontransformer_tpu.nn.layers import conv2d, conv2d_init
-from visiontransformer_tpu.ops.resize import resize_bilinear
+from visiontransformer_tpu.ops.resize import resize_bilinear_mm
 
 
 def vitseg_init(key: jax.Array, cfg: ViTSegConfig) -> dict:
@@ -53,12 +53,12 @@ def vitseg_apply(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
     x = jax.nn.relu(x)
     x = conv2d(params["head_conv2"], x)
 
-    # Upsample in fp32 — the lerp is bandwidth-bound, not MXU-bound, and fp32
-    # keeps argmax ties identical to the reference.
-    x = resize_bilinear(x.astype(jnp.float32),
-                        (images.shape[1], images.shape[2]),
-                        h_axis=1, w_axis=2)
-    return x
+    # Upsample as two fp32 interpolation-matrix matmuls (MXU-native): the
+    # gather-based lerp leaves num_classes in the minor dim where it pads to
+    # the 128-lane tile — measured 1.9× slower at 512²×17 (scripts/tune_head).
+    # Same align_corners=False arithmetic as reference model/CE/classes.py:260.
+    return resize_bilinear_mm(x.astype(jnp.float32),
+                              (images.shape[1], images.shape[2]))
 
 
 def vitseg_logits_nchw(params: dict, images_nchw: jnp.ndarray,

@@ -51,11 +51,15 @@ def multi_head_attention(q, k, v, *, implementation: str = "auto",
     """
     if implementation == "auto":
         # Flash wins on v5e once the score matrix is big enough to pay for
-        # the streaming (measured: 1.55x at N=3137, 1.5x at N=1025). The
-        # kernel carries attention-probs dropout in-chip (per-tile PRNG), so
-        # it also serves the training path — where it additionally avoids
-        # storing B·H·N² probs + masks for the backward pass.
-        use_flash = (_on_tpu() and q.shape[-2] >= 1024 and _flash_available())
+        # the streaming — measured across all sweep lengths
+        # (scripts/tune_flash.py, chained-in-jit best-of-N): 1.70x at N=3137,
+        # 1.47x at N=1025, 1.21x at N=785, 1.00x (tie) at N=197. Threshold
+        # 512 takes flash everywhere it wins and leaves P16@224 (197) on the
+        # simpler XLA path. The kernel carries attention-probs dropout
+        # in-chip (per-tile PRNG), so it also serves the training path —
+        # where it additionally avoids storing B·H·N² probs + masks for the
+        # backward pass.
+        use_flash = (_on_tpu() and q.shape[-2] >= 512 and _flash_available())
         implementation = "flash" if use_flash else "xla"
 
     if implementation == "flash":

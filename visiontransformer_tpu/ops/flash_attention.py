@@ -145,22 +145,23 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
 
 
-# Measured-on-v5e tile choices per padded length (chained-iteration timing;
-# see git history for the tuning runs). Key: n_pad at 128 granularity ->
-# (block_q, block_k). Anything else falls back to 512-blocks at 512-pad.
+# Measured-on-v5e tile choices per padded length (chained-iteration timing,
+# scripts/tune_flash.py; see git history for the tuning runs). Key: n at 128
+# granularity -> (block_q, block_k, n_pad). Anything else falls back to
+# 512-blocks at 512-pad.
 _TUNED_BLOCKS = {
-    256: (256, 256),      # N=197  (224px, P16)
-    1152: (384, 1152),    # N=1025 (512px, P16): 3.2ms vs 4.8 XLA @ bh192
-    3200: (640, 640),     # N=3137 (224px, P4)
+    256: (256, 256, 256),      # N=197  (224px, P16): ties XLA (1.00x)
+    896: (512, 1024, 1024),    # N=785  (224px, P8):  2.53ms, 1.21x XLA @bh128
+    1152: (384, 1152, 1152),   # N=1025 (512px, P16): 3.21ms, 1.47x XLA @bh192
+    3200: (640, 640, 3200),    # N=3137 (224px, P4):  1.70x XLA @bh32
 }
 
 
 def choose_blocks(n: int):
     """(block_q, block_k, n_pad) for a sequence length."""
-    n_pad = _round_up(n, 128)
-    if n_pad in _TUNED_BLOCKS:
-        bq, bk = _TUNED_BLOCKS[n_pad]
-        return bq, bk, n_pad
+    key = _round_up(n, 128)
+    if key in _TUNED_BLOCKS:
+        return _TUNED_BLOCKS[key]
     n_pad = _round_up(n, 512)
     return min(512, n_pad), min(512, n_pad), n_pad
 

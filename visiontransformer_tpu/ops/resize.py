@@ -87,6 +87,43 @@ def _linear_weights(out_size: int, in_size: int):
     return lo, hi, w_hi
 
 
+def bilinear_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """Dense (out, in) interpolation matrix for align_corners=False bilinear.
+
+    Each row has (at most) two non-zeros — the lerp weights of
+    ``_linear_weights``. Materializing it densely turns the upsample into a
+    matmul, which is the MXU-native formulation: the gather-based path leaves
+    the channel axis (e.g. 17 classes) in the minor dim where it pads to the
+    128-lane tile and runs ~14× slower (measured on v5e, see
+    docs/PERFORMANCE.md). Identical arithmetic: the extra terms are exact
+    zeros, and 0·x + w_lo·x_lo + w_hi·x_hi is exact in fp32.
+    """
+    scale = in_size / out_size
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo).astype(np.float32)
+    mat = np.zeros((out_size, in_size), np.float32)
+    mat[np.arange(out_size), lo] += 1.0 - w_hi
+    mat[np.arange(out_size), hi] += w_hi
+    return mat
+
+
+def resize_bilinear_mm(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear upsample of (B, h, w, C) via two interpolation-matrix
+    matmuls — same align_corners=False semantics as ``resize_bilinear``,
+    restructured for the MXU (used by the seg-head hot path)."""
+    out_h, out_w = size
+    in_h, in_w = x.shape[1], x.shape[2]
+    wh = jnp.asarray(bilinear_matrix(out_h, in_h))
+    ww = jnp.asarray(bilinear_matrix(out_w, in_w))
+    x = x.astype(jnp.float32)
+    # (H, h) × (B, h, w, C) -> (B, H, w, C); then (W, w) × ... -> (B, H, W, C)
+    x = jnp.einsum("Hh,bhwc->bHwc", wh, x)
+    return jnp.einsum("Ww,bHwc->bHWc", ww, x)
+
+
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int],
                     h_axis: int = -2, w_axis: int = -1) -> jnp.ndarray:
     """Bilinear resize, align_corners=False, matching torch F.interpolate.

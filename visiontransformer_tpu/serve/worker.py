@@ -26,6 +26,7 @@ import json
 import os
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -43,7 +44,7 @@ from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
 from visiontransformer_tpu.ops.morphology import bounding_boxes_np
 from visiontransformer_tpu.serve.store import JobStore
 
-BUCKETS = (1, 2, 4, 8)
+BUCKETS = (1, 2, 4, 8, 16, 32)
 
 
 class ModelRunner:
@@ -118,7 +119,8 @@ class _PendingMasks:
 class InferenceWorker:
     def __init__(self, store: JobStore, *, poll_interval: float = 0.02,
                  max_batch: int = BUCKETS[-1], linger: float = 0.005,
-                 compute_dtype: str = "bfloat16", warmup: bool = True):
+                 compute_dtype: str = "bfloat16", warmup: bool = True,
+                 io_threads: int = 8):
         self.warmup = warmup
         self.store = store
         self.poll_interval = poll_interval
@@ -131,6 +133,13 @@ class InferenceWorker:
         self._runners: Dict[int, ModelRunner] = {}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # Image decode and mask postprocess (PNG encode, connected
+        # components) run on this pool, overlapping device compute — PIL and
+        # zlib release the GIL for the heavy parts. The worker loop thread
+        # only claims jobs and dispatches batches.
+        self._io_pool = ThreadPoolExecutor(max_workers=io_threads,
+                                           thread_name_prefix="worker-io")
+        self._processed_lock = threading.Lock()
         self.processed = 0
 
     # ----------------------------------------------------------- lifecycle
@@ -146,6 +155,7 @@ class InferenceWorker:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout)
+        self._io_pool.shutdown(wait=True)
 
     MAX_IN_FLIGHT = 2  # batches dispatched before blocking on a readback
 
@@ -155,7 +165,12 @@ class InferenceWorker:
         # host postprocessing and (on remote runtimes) dispatch latency.
         from collections import deque
 
-        in_flight = deque()  # (runner, valid_jobs, pending_masks)
+        in_flight = deque()   # (runner, valid_jobs, pending_masks)
+        post_futures = deque()  # postprocess work handed to the io pool
+
+        def reap_posts(block: bool = False):
+            while post_futures and (block or post_futures[0].done()):
+                post_futures.popleft().result()
 
         def drain_one():
             runner, valid_jobs, pending = in_flight.popleft()
@@ -166,17 +181,16 @@ class InferenceWorker:
                     self.store.fail_job(job["id"], f"inference error: {exc}")
                 return
             for job, mask in zip(valid_jobs, masks):
-                try:
-                    self._finish_job(runner, job, mask)
-                except Exception as exc:
-                    self.store.fail_job(job["id"],
-                                        f"postprocess error: {exc}")
+                post_futures.append(self._io_pool.submit(
+                    self._finish_job_safe, runner, job, mask))
+            reap_posts()
 
         while not self._stop.is_set():
             jobs = self.store.claim_pending_jobs(self.max_batch)
             if not jobs:
                 while in_flight:
                     drain_one()
+                reap_posts(block=True)
                 self._stop.wait(self.poll_interval)
                 continue
             if len(jobs) < self.max_batch and self.linger > 0:
@@ -191,6 +205,14 @@ class InferenceWorker:
                     drain_one()
         while in_flight:
             drain_one()
+        reap_posts(block=True)
+
+    def _finish_job_safe(self, runner: "ModelRunner", job: Dict,
+                         mask: np.ndarray) -> None:
+        try:
+            self._finish_job(runner, job, mask)
+        except Exception as exc:
+            self.store.fail_job(job["id"], f"postprocess error: {exc}")
 
     # ------------------------------------------------------------- compute
     def _runner(self, model_id: int) -> ModelRunner:
@@ -213,12 +235,18 @@ class InferenceWorker:
                 self.store.fail_job(job["id"], f"model load error: {exc}")
             return None
 
+        def decode(job):
+            img = Image.open(job["input_image"]).convert("RGB").resize(
+                (runner.input_size, runner.input_size), Image.BILINEAR)
+            return np.asarray(img, np.float32) / 255.0
+
+        # Decode the whole batch concurrently on the io pool (PIL releases
+        # the GIL while decoding/resizing); failures fail only their job.
         images, valid_jobs = [], []
-        for job in jobs:
+        futures = [self._io_pool.submit(decode, job) for job in jobs]
+        for job, fut in zip(jobs, futures):
             try:
-                img = Image.open(job["input_image"]).convert("RGB").resize(
-                    (runner.input_size, runner.input_size), Image.BILINEAR)
-                images.append(np.asarray(img, np.float32) / 255.0)
+                images.append(fut.result())
                 valid_jobs.append(job)
             except Exception as exc:
                 self.store.fail_job(job["id"], f"image decode error: {exc}")
@@ -248,7 +276,8 @@ class InferenceWorker:
                 detections.append({"class_id": int(cls),
                                    "box_yxyx": [int(v) for v in box]})
         self.store.complete_job(job["id"], mask_path, json.dumps(detections))
-        self.processed += 1
+        with self._processed_lock:
+            self.processed += 1
 
 
 def _group_by_model(jobs: Sequence[Dict]) -> List[Tuple[int, List[Dict]]]:
