@@ -71,15 +71,25 @@ def submit_and_wait(opener, jar, csrf, base, png_bytes, model_id):
         base + "/api/inference-jobs/", data=body.getvalue(),
         headers={"Content-Type": f"multipart/form-data; boundary={boundary}",
                  "X-CSRFToken": csrf(jar)})
-    job = json.loads(opener.open(req).read())
+    def _retrying(request, tries=5):
+        # Transient connection resets under connect bursts are part of what
+        # this harness stresses; a real client retries.
+        for i in range(tries):
+            try:
+                return opener.open(request)
+            except (ConnectionResetError, ConnectionRefusedError):
+                time.sleep(0.05 * (i + 1))
+        return opener.open(request)
+
+    job = json.loads(_retrying(req).read())
     job_id = job["id"]
     deadline = time.time() + 120
     while time.time() < deadline:
-        st = json.loads(opener.open(
+        st = json.loads(_retrying(
             base + f"/api/inference-jobs/{job_id}/").read())
         if st["status"] in ("DONE", "FAILED"):
             return st["status"]
-        time.sleep(0.05)
+        time.sleep(0.15)
     return "TIMEOUT"
 
 

@@ -76,3 +76,26 @@ def test_pure_python_fallbacks_match_scipy(rng):
             assert (a == 0) == (b == 0)
             continue
         assert mapping.setdefault(int(a), int(b)) == b
+
+
+def test_detections_single_pass_matches_per_class(rng):
+    """vn_detections (one traversal, all classes) == per-class label+boxes."""
+    from visiontransformer_tpu.ops.morphology import bounding_boxes_np
+
+    for shape, n_cls in (((48, 64), 5), ((96, 96), 17)):
+        mask = rng.integers(0, n_cls, shape).astype(np.int32)
+        got = native.detections(mask)
+        ref = []
+        for cls in np.unique(mask):
+            if cls == 0:
+                continue
+            for box in bounding_boxes_np(mask == cls):
+                ref.append((int(cls),) + tuple(int(v) for v in box))
+        assert got == sorted(ref)
+
+
+def test_detections_empty_and_single_region():
+    assert native.detections(np.zeros((8, 8), np.int32)) == []
+    mask = np.zeros((8, 8), np.int32)
+    mask[2:5, 3:7] = 4
+    assert native.detections(mask) == [(4, 2, 3, 4, 6)]

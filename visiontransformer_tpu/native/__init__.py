@@ -64,6 +64,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vn_bounding_boxes.argtypes = [_i32, ctypes.c_int, _i32,
                                           ctypes.c_int, ctypes.c_int]
         lib.vn_bounding_boxes.restype = None
+        lib.vn_detections.argtypes = [_i32, _i32, ctypes.c_int, ctypes.c_int,
+                                      _i32, ctypes.c_int]
+        lib.vn_detections.restype = ctypes.c_int
         lib.vn_edt.argtypes = [_u8, _f32, ctypes.c_int, ctypes.c_int]
         lib.vn_edt.restype = None
         lib.vn_remap_u8.argtypes = [_u8, _i32, _i32, ctypes.c_long]
@@ -117,6 +120,35 @@ def bounding_boxes(mask: np.ndarray) -> List[Tuple[int, int, int, int]]:
     h, w = labels.shape
     lib.vn_bounding_boxes(np.ascontiguousarray(labels), n, boxes, h, w)
     return [tuple(int(v) for v in row) for row in boxes]
+
+
+def detections(class_mask: np.ndarray) -> List[Tuple[int, int, int, int, int]]:
+    """(class_id, y_min, x_min, y_max, x_max) per 4-connected same-class
+    region of an integer class mask (0 = background) — one image traversal
+    for all classes, vs the per-class label loop (serving hot path).
+    Falls back to the per-class pure-Python path when the lib is absent."""
+    lib = _load()
+    mask = np.ascontiguousarray(np.asarray(class_mask).astype(np.int32))
+    if lib is None:
+        from visiontransformer_tpu.ops.morphology import bounding_boxes_np
+        out = []
+        for cls in np.unique(mask):
+            if cls == 0:
+                continue
+            for box in bounding_boxes_np(mask == cls):
+                out.append((int(cls),) + tuple(int(v) for v in box))
+        return sorted(out)
+    h, w = mask.shape
+    scratch = np.empty((h, w), np.int32)
+    capacity = 4096
+    while True:
+        boxes = np.empty((capacity, 5), np.int32)
+        n = lib.vn_detections(mask, scratch, h, w, boxes, capacity)
+        if n <= capacity:
+            # Deterministic, path-independent ordering (the C pass emits
+            # components in scan order).
+            return sorted(tuple(int(v) for v in row) for row in boxes[:n])
+        capacity = n  # exact count known after first pass; one retry max
 
 
 def edt(mask: np.ndarray) -> np.ndarray:

@@ -499,7 +499,16 @@ def create_server(store: JobStore, *, host: str = "127.0.0.1", port: int = 0,
     app = ServingApp(store, worker=worker, orch_url=orch_url,
                      orch_token=orch_token)
     handler = type("BoundHandler", (_Handler,), {"app": app})
-    server = ThreadingHTTPServer((host, port), handler)
+
+    class _Server(ThreadingHTTPServer):
+        # The socketserver default backlog is 5; concurrent clients without
+        # keep-alive burst far past that and get RST (measured: 32 pollers
+        # reset mid-benchmark). Gunicorn's default backlog is 2048 — match
+        # the same order of magnitude.
+        request_queue_size = 512
+        daemon_threads = True
+
+    server = _Server((host, port), handler)
     return server, app
 
 

@@ -41,7 +41,7 @@ from visiontransformer_tpu.evaluation.visualize import (
     colorize,
 )
 from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
-from visiontransformer_tpu.ops.morphology import bounding_boxes_np
+from visiontransformer_tpu.native import detections as native_detections
 from visiontransformer_tpu.serve.store import JobStore
 
 BUCKETS = (1, 2, 4, 8, 16, 32)
@@ -266,15 +266,19 @@ class InferenceWorker:
         mask_dir = os.path.join(self.store.media_root, "masks")
         os.makedirs(mask_dir, exist_ok=True)
         mask_path = os.path.join(mask_dir, f"{job['id']}.png")
-        Image.fromarray(colorize(mask, runner.color_table)).save(mask_path)
+        # compress_level=1: the colorized mask is flat-colored and already
+        # tiny at level 1; level 6 (default) costs ~3x the CPU on the
+        # single-core serving host for a few hundred bytes.
+        Image.fromarray(colorize(mask, runner.color_table)).save(
+            mask_path, compress_level=1)
 
-        detections = []
-        for cls in np.unique(mask):
-            if cls == 0:
-                continue
-            for box in bounding_boxes_np(mask == cls):
-                detections.append({"class_id": int(cls),
-                                   "box_yxyx": [int(v) for v in box]})
+        # One-pass all-class connected components (native C++;
+        # per-class fallback inside) — the per-class loop re-scanned the
+        # mask once per present class.
+        detections = [
+            {"class_id": cls, "box_yxyx": [y0, x0, y1, x1]}
+            for cls, y0, x0, y1, x1 in native_detections(mask)
+        ]
         self.store.complete_job(job["id"], mask_path, json.dumps(detections))
         with self._processed_lock:
             self.processed += 1

@@ -176,6 +176,14 @@ class Trainer:
     def _place_batch(self, batch: Dict[str, np.ndarray]):
         if self.mesh is None:
             return batch
+        if jax.process_count() > 1:
+            # Multi-host: each process holds the full host batch (the data
+            # pipeline is deterministic and identical per process); hand the
+            # global-array constructor this process's rows only.
+            from visiontransformer_tpu.parallel.multihost import (
+                global_batch, local_shard)
+            return global_batch(self.mesh, local_shard(
+                {k: np.asarray(v) for k, v in batch.items()}))
         sharding = batch_sharding(self.mesh)
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
