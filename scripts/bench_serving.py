@@ -83,13 +83,15 @@ def submit_and_wait(opener, jar, csrf, base, png_bytes, model_id):
 
     job = json.loads(_retrying(req).read())
     job_id = job["id"]
-    deadline = time.time() + 120
+    # Long-poll (?wait=): on the single-core serving host, sleep-loop
+    # polling from 32 clients saturated the CPU with ~4ms request overheads
+    # and throttled the worker itself to ~1.5 jobs/s.
+    deadline = time.time() + 180
     while time.time() < deadline:
         st = json.loads(_retrying(
-            base + f"/api/inference-jobs/{job_id}/").read())
+            base + f"/api/inference-jobs/{job_id}/?wait=30").read())
         if st["status"] in ("DONE", "FAILED"):
             return st["status"]
-        time.sleep(0.15)
     return "TIMEOUT"
 
 

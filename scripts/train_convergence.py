@@ -1,0 +1,128 @@
+"""Convergence runs on the synthetic dataset (real TPU).
+
+The reference publishes CE metrics for 9 configs on its (unshipped) damage
+dataset but no PAED metrics at all (BASELINE.md note). This script
+establishes the framework's own reference numbers on the shipped synthetic
+generator: train to convergence, evaluate on the held-out test split, and
+drop metrics.csv + summary into examples/convergence/ for the committed
+curves.
+
+Usage:
+  python scripts/train_convergence.py ce
+  python scripts/train_convergence.py paed_binary
+"""
+
+import dataclasses
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_ROOT = os.path.join(REPO, "examples", "convergence")
+
+N_SAMPLES = 240
+MAX_EPOCHS = 40
+BATCH = 16
+
+
+def main(task: str):
+    from visiontransformer_tpu.configs import (
+        CE_TRAIN_DEFAULTS,
+        PAED_TRAIN_DEFAULTS,
+        sweep_by_name,
+    )
+    from visiontransformer_tpu.data import (
+        CESegmentationDataset,
+        PAEDBinaryDataset,
+        train_val_test_split,
+    )
+    from visiontransformer_tpu.data.synthetic import (
+        generate_binary,
+        generate_multiclass,
+    )
+    from visiontransformer_tpu.train import Trainer
+    from visiontransformer_tpu.utils import CSVLogger
+
+    binary = task == "paed_binary"
+    data_root = tempfile.mkdtemp(prefix=f"conv_{task}_")
+    if binary:
+        generate_binary(data_root, n_samples=N_SAMPLES, image_size=224)
+    else:
+        generate_multiclass(data_root, n_samples=N_SAMPLES, image_size=256)
+
+    img_dir = os.path.join(data_root, "image_png")
+    mask_dir = os.path.join(data_root, "mask_png")
+    ds_cls = PAEDBinaryDataset if binary else CESegmentationDataset
+    probe = ds_cls(img_dir, mask_dir, image_size=224)
+    train_f, val_f, test_f = train_val_test_split(probe.images)
+    mk = lambda sub: ds_cls(img_dir, mask_dir, image_size=224, subset=sub)
+    train_ds, val_ds, test_ds = mk(train_f), mk(val_f), mk(test_f)
+    print(f"{task}: {len(train_f)}/{len(val_f)}/{len(test_f)} "
+          "train/val/test", flush=True)
+
+    entry = sweep_by_name("P16H512A8")
+    num_classes = 1 if binary else probe.num_classes
+    seg_cfg = entry.seg_config(num_classes=num_classes,
+                               compute_dtype="bfloat16")
+
+    base = PAED_TRAIN_DEFAULTS if binary else CE_TRAIN_DEFAULTS
+    tcfg = dataclasses.replace(base, batch_size=BATCH,
+                               accumulate_grad_batches=1,
+                               max_epochs=MAX_EPOCHS)
+
+    out_dir = os.path.join(OUT_ROOT, task)
+    os.makedirs(out_dir, exist_ok=True)
+    log_root = tempfile.mkdtemp(prefix=f"conv_logs_{task}_")
+    logger = CSVLogger(log_root)
+    trainer = Trainer(seg_cfg, tcfg, task=task, logger=logger)
+
+    def report(epoch, metrics):
+        line = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+        print(f"epoch {epoch}: {line}", flush=True)
+
+    state = trainer.fit(train_ds, val_dataset=val_ds, on_epoch_end=report)
+
+    # Held-out test metrics.
+    summary = {"task": task, "config": "P16H512A8", "image_size": 224,
+               "batch_size": BATCH,
+               "splits": [len(train_f), len(val_f), len(test_f)],
+               "synthetic_samples": N_SAMPLES}
+    if binary:
+        test_metrics = trainer.evaluate(test_ds, state.params,
+                                        batch_size=4)
+        summary["test"] = {k: round(float(v), 4)
+                           for k, v in test_metrics.items()}
+    else:
+        # The sweep evaluator: reference CSV schema, mIoU/dice/acc per image.
+        import csv
+
+        from visiontransformer_tpu.evaluation.evaluate import evaluate_model
+        eval_out = os.path.join(log_root, "eval")
+        csv_path = evaluate_model(state.params, seg_cfg, entry, test_ds,
+                                  output_dir=eval_out, batch_size=4,
+                                  num_batches=10**9)
+        with open(csv_path) as f:
+            rows = list(csv.DictReader(f))
+        acc = np.mean([float(r["Accuracy"]) for r in rows])
+        miou = np.nanmean([float(r["Mean_IoU"]) for r in rows])
+        mdice = np.nanmean([float(r["Mean_Dice"]) for r in rows])
+        summary["test"] = {"pixel_accuracy": round(float(acc), 3),
+                           "mean_iou": round(float(miou), 4),
+                           "mean_dice": round(float(mdice), 4)}
+        test_metrics = trainer.evaluate(test_ds, state.params,
+                                        batch_size=4)
+        summary["test"]["loss"] = round(float(test_metrics["loss"]), 4)
+
+    shutil.copy(logger.path, os.path.join(out_dir, "metrics.csv"))
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2), flush=True)
+    print(f"artifacts: {out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "ce")

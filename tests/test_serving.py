@@ -161,13 +161,14 @@ def test_full_job_flow(serving):
     assert job["user_username"] == "ana"
     assert job["vision_model_details"]["name"] == "tiny-vit"
 
-    # worker completes it
+    # worker completes it — observed via the ?wait= long-poll (blocks until
+    # the store's terminal-transition notify instead of a sleep loop)
     deadline = time.time() + 30
     while time.time() < deadline:
-        status, detail = client.get(f"/api/inference-jobs/{job['id']}/")
+        status, detail = client.get(
+            f"/api/inference-jobs/{job['id']}/?wait=5")
         if detail["status"] in ("DONE", "FAILED"):
             break
-        time.sleep(0.1)
     assert detail["status"] == "DONE", detail
     assert detail["mask_image"].startswith("/media/masks/")
 

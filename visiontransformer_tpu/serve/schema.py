@@ -87,7 +87,11 @@ def openapi_schema() -> dict:
             "/api/inference-jobs/{id}/": {"get": {
                 "summary": "Job detail",
                 "parameters": [{"name": "id", "in": "path", "required": True,
-                                "schema": {"type": "string"}}],
+                                "schema": {"type": "string"}},
+                               {"name": "wait", "in": "query",
+                                "description": "long-poll: block up to this "
+                                               "many seconds for DONE/FAILED",
+                                "schema": {"type": "number"}}],
                 "responses": {"200": {"description": "job"},
                               "404": {"description": "not found"}}}},
             "/api/inference-jobs/{id}/complete/": {"post": {

@@ -172,6 +172,13 @@ class ServingApp:
                 if job["user_id"] is not None and (
                         user is None or user["id"] != job["user_id"]):
                     return 404, {"detail": "Not found."}, []
+                # ?wait=N long-poll (beyond the reference, which only
+                # supports client-side poll loops): block up to N seconds
+                # for DONE/FAILED. Orders of magnitude fewer requests than
+                # sleep-loop polling — see store.wait_for_job.
+                wait = _float_or(query.get("wait", [None])[0])
+                if wait and job["status"] in ("PENDING", "PROCESSING"):
+                    job = self.store.wait_for_job(job_id, wait)
                 return 200, self._serialize_job(job), []
 
         if route == "/api/schema" and method == "GET":
@@ -384,6 +391,13 @@ def _json_body(body: bytes) -> Dict:
 def _int_or(value, default=None):
     try:
         return int(value)
+    except (TypeError, ValueError):
+        return default
+
+
+def _float_or(value, default=None):
+    try:
+        return float(value)
     except (TypeError, ValueError):
         return default
 

@@ -143,10 +143,24 @@ class InferenceWorker:
         self.processed = 0
 
     # ----------------------------------------------------------- lifecycle
-    def start(self) -> None:
+    def preload_models(self) -> None:
+        """Load + warm every registered model now (all bucket programs
+        compiled) instead of lazily on the first claimed batch — a cold
+        model otherwise stalls live jobs for the full multi-bucket XLA
+        compile (minutes through a remote-TPU tunnel). Load failures are
+        left for the per-job path to report."""
+        for row in self.store.list_models():
+            try:
+                self._runner(row["id"])
+            except Exception:
+                pass
+
+    def start(self, preload: bool = True) -> None:
         # Crash recovery: jobs a dead worker left PROCESSING go back to the
         # queue (any age — at startup no other worker can own them).
         self.store.requeue_stale_processing(older_than_s=0.0)
+        if preload and self.warmup:
+            self.preload_models()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tpu-inference-worker")
         self._thread.start()
