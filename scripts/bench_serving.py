@@ -106,7 +106,7 @@ def main():
     model_id = store.register_model(
         "vit-b16-damage", num_classes=17, config_name="P16H768A12",
         description="bench model")
-    worker = InferenceWorker(store, warmup=True)
+    worker = InferenceWorker(store, warmup=True, buckets=(8, 32))
     server, _ = create_server(store, host="127.0.0.1", port=0, worker=worker)
     port = server.server_address[1]
     base = f"http://127.0.0.1:{port}"

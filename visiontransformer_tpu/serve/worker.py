@@ -50,7 +50,9 @@ BUCKETS = (1, 2, 4, 8, 16, 32)
 class ModelRunner:
     """One loaded model: params + a single jitted bucketed forward."""
 
-    def __init__(self, model_row: Dict, *, compute_dtype: str = "bfloat16"):
+    def __init__(self, model_row: Dict, *, compute_dtype: str = "bfloat16",
+                 buckets: Sequence[int] = BUCKETS):
+        self.buckets = tuple(sorted(buckets))
         entry = sweep_by_name(model_row["config_name"])
         self.input_size = model_row["input_size"]
         self.cfg = ViTSegConfig(
@@ -85,7 +87,7 @@ class ModelRunner:
         """(B, H, W, 3) float32 -> async device masks handle (padded to a
         bucket). Call resolve() on the handle to get (B, H, W) int32."""
         b = images.shape[0]
-        bucket = next((s for s in BUCKETS if s >= b), BUCKETS[-1])
+        bucket = next((s for s in self.buckets if s >= b), self.buckets[-1])
         if b < bucket:
             pad = np.zeros((bucket - b,) + images.shape[1:], images.dtype)
             images = np.concatenate([images, pad])
@@ -99,7 +101,7 @@ class ModelRunner:
         """Compile every batch bucket up front: each bucket size is its own
         XLA program, and compiling lazily mid-traffic stalls live jobs for
         tens of seconds."""
-        for bucket in BUCKETS:
+        for bucket in self.buckets:
             dummy = np.zeros((bucket, self.input_size, self.input_size, 3),
                              np.float32)
             self.predict(dummy)
@@ -120,8 +122,12 @@ class InferenceWorker:
     def __init__(self, store: JobStore, *, poll_interval: float = 0.02,
                  max_batch: int = BUCKETS[-1], linger: float = 0.005,
                  compute_dtype: str = "bfloat16", warmup: bool = True,
-                 io_threads: int = 8):
+                 io_threads: int = 8, buckets: Sequence[int] = BUCKETS):
         self.warmup = warmup
+        # Fewer buckets = fewer compiled programs (faster cold start, the
+        # dominant serving-startup cost on a remote-TPU runtime) at the
+        # price of more batch padding; the full ladder minimizes padding.
+        self.buckets = tuple(sorted(buckets))
         self.store = store
         self.poll_interval = poll_interval
         self.max_batch = max_batch
@@ -234,7 +240,8 @@ class InferenceWorker:
             row = self.store.get_model(model_id)
             if row is None:
                 raise KeyError(f"unknown vision model {model_id}")
-            runner = ModelRunner(row, compute_dtype=self.compute_dtype)
+            runner = ModelRunner(row, compute_dtype=self.compute_dtype,
+                                 buckets=self.buckets)
             if self.warmup:
                 runner.warmup()
             self._runners[model_id] = runner
