@@ -24,8 +24,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_ROOT = os.path.join(REPO, "examples", "convergence")
 
-N_SAMPLES = 240
-MAX_EPOCHS = 40
+N_SAMPLES = int(os.environ.get("CONV_SAMPLES", 240))
+MAX_EPOCHS = int(os.environ.get("CONV_EPOCHS", 120))
 BATCH = 16
 
 

@@ -19,9 +19,57 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def main_cli(pid, nproc, port, out_dir):
+    """Exercise cmd_train's --multihost wiring end to end: every process
+    joins the distributed job inside the CLI, the primary writes
+    metrics.csv, the others train silently."""
+    import argparse
+    import types
+
+    import visiontransformer_tpu.cli as cli
+    from visiontransformer_tpu import configs
+
+    # The sweep has no tiny entries; substitute one so the CPU test is fast
+    # (the CLI code path under test is identical).
+    tiny = configs.SweepEntry(0, 16, 64, 2, 4)
+    cli_ns = argparse.Namespace(
+        data=os.path.join(out_dir, "data"), classdict=None, image_size=32,
+        task="ce", model="vitseg", config="P16H512A8", encoder="resnet34",
+        batch_size=8, lr=None, max_epochs=1, accumulate=1, dtype="float32",
+        mesh=None, multihost=True, coordinator=f"127.0.0.1:{port}",
+        num_processes=nproc, process_id=pid, tp=1,
+        logs=os.path.join(out_dir, f"logs{pid}"),
+        ckpt_dir=os.path.join(out_dir, "ckpt_shared"),
+        resume=None, profile_dir=None, no_split=True)
+    real_sweep_by_name = configs.sweep_by_name
+
+    def fake_sweep_by_name(name):
+        real_sweep_by_name(name)  # still validates the name
+        return tiny
+
+    configs.sweep_by_name = fake_sweep_by_name
+    # cmd_train imports sweep_by_name from configs at call time
+    rc = cli.cmd_train(cli_ns)
+    assert rc == 0
+    if pid == 0:
+        path = os.path.join(out_dir, "logs0", "vit-model", "version_0",
+                            "metrics.csv")
+        assert os.path.exists(path), path
+    else:
+        # Non-primary writes no CSV logs; it does participate in the
+        # (collective) checkpoint save to the shared path (Orbax saves
+        # barrier across processes — primary-only saving deadlocks).
+        assert not os.path.isdir(
+            os.path.join(out_dir, f"logs{pid}", "vit-model"))
+    assert os.listdir(os.path.join(out_dir, "ckpt_shared"))
+    print(f"[proc {pid}] cli multihost train done", flush=True)
+
+
 def main():
     pid, nproc, port, out_dir = (int(sys.argv[1]), int(sys.argv[2]),
                                  sys.argv[3], sys.argv[4])
+    if len(sys.argv) > 5 and sys.argv[5] == "cli":
+        return main_cli(pid, nproc, port, out_dir)
     from visiontransformer_tpu.parallel.multihost import (
         initialize_multihost,
         is_primary,

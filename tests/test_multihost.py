@@ -87,3 +87,28 @@ def test_two_process_pod_matches_single_process(tmp_path, eight_devices):
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6,
                                    err_msg=name)
     assert "[proc 0] step done" in outputs[0] + outputs[1]
+
+
+def test_cli_multihost_train(tmp_path, eight_devices):
+    """`train --multihost` end to end across two processes: both join the
+    distributed job inside cmd_train, only the primary writes logs."""
+    from visiontransformer_tpu.data.synthetic import generate_multiclass
+
+    generate_multiclass(str(tmp_path / "data"), n_samples=16, image_size=32,
+                        seed=1)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), "2", str(port),
+             str(tmp_path), "cli"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    assert "[proc 0] cli multihost train done" in outputs[0] + outputs[1]
+    assert (tmp_path / "logs0" / "vit-model" / "version_0"
+            / "metrics.csv").exists()

@@ -54,6 +54,18 @@ def _build_parser():
     t.add_argument("--dtype", default="bfloat16")
     t.add_argument("--mesh", default=None,
                    help="dp or dp,tp mesh shape, e.g. 8 or 4,2")
+    t.add_argument("--multihost", action="store_true",
+                   help="join a multi-process jax.distributed job and train "
+                        "over the pod-wide mesh (auto-detected topology on "
+                        "Cloud TPU pods; else pass --coordinator/"
+                        "--num-processes/--process-id)")
+    t.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multihost)")
+    t.add_argument("--num-processes", type=int, default=None)
+    t.add_argument("--process-id", type=int, default=None)
+    t.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel axis size of the pod mesh "
+                        "(multihost; dp = device_count / tp)")
     t.add_argument("--logs", default="logs")
     t.add_argument("--ckpt-dir", default=None)
     t.add_argument("--resume", default=None,
@@ -137,6 +149,20 @@ def cmd_train(args) -> int:
     from visiontransformer_tpu.train import Trainer
     from visiontransformer_tpu.utils import CSVLogger
 
+    pod_mesh_obj = None
+    if getattr(args, "multihost", False):
+        # Join the jax.distributed job BEFORE any backend use; the mesh then
+        # spans every process's devices (tests/test_multihost.py runs this
+        # exact path across two OS processes).
+        from visiontransformer_tpu.parallel.multihost import (
+            initialize_multihost,
+            pod_mesh,
+        )
+        initialize_multihost(coordinator_address=args.coordinator,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
+        pod_mesh_obj, _ = pod_mesh(tp=args.tp)
+
     image_dir = os.path.join(args.data, "image_png")
     mask_dir = os.path.join(args.data, "mask_png")
 
@@ -176,10 +202,23 @@ def cmd_train(args) -> int:
         mesh_shape=_parse_mesh(args.mesh),
         **({"learning_rate": args.lr} if args.lr else {}))
 
-    logger = CSVLogger(args.logs)
+    primary = True
+    if pod_mesh_obj is not None:
+        from visiontransformer_tpu.parallel.multihost import is_primary
+        primary = is_primary()
+    # Only the primary writes CSV/tfevents logs, but EVERY process must
+    # participate in checkpointing: Orbax saves are collective (they barrier
+    # across processes), so the checkpoint dir must be the same
+    # deterministic path on all processes — not derived from the primary's
+    # versioned log dir.
+    logger = CSVLogger(args.logs) if primary else None
     trainer = Trainer(seg_cfg, tcfg, task=args.task, model=args.model,
-                      logger=logger)
-    ckpt_dir = args.ckpt_dir or os.path.join(logger.log_dir, "checkpoints")
+                      logger=logger, mesh=pod_mesh_obj)
+    if pod_mesh_obj is not None:
+        ckpt_dir = args.ckpt_dir or os.path.join(args.logs, "checkpoints")
+    else:
+        ckpt_dir = args.ckpt_dir or os.path.join(logger.log_dir,
+                                                 "checkpoints")
 
     def report(epoch, metrics):
         line = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
@@ -188,7 +227,8 @@ def cmd_train(args) -> int:
     trainer.fit(train_ds, val_dataset=val_ds, checkpoint_dir=ckpt_dir,
                 resume_from=args.resume, profile_dir=args.profile_dir,
                 on_epoch_end=report)
-    print(f"logs: {logger.path}\ncheckpoints: {ckpt_dir}")
+    if logger:
+        print(f"logs: {logger.path}\ncheckpoints: {ckpt_dir}")
     return 0
 
 

@@ -28,9 +28,12 @@ from jax import lax
 from visiontransformer_tpu.losses.basic import binary_cross_entropy, dice_loss
 from visiontransformer_tpu.ops.resize import resize_bilinear
 
-_SOBEL_X = jnp.array([[1.0, 0.0, -1.0],
-                      [2.0, 0.0, -2.0],
-                      [1.0, 0.0, -1.0]], dtype=jnp.float32)
+# numpy, not jnp: a module-level jnp.array would initialize the XLA backend
+# at import time, breaking jax.distributed.initialize() for multi-host users
+# who (correctly) import the package before joining the job.
+_SOBEL_X = np.array([[1.0, 0.0, -1.0],
+                     [2.0, 0.0, -2.0],
+                     [1.0, 0.0, -1.0]], dtype=np.float32)
 
 
 def _conv2d_single(x: jnp.ndarray, kernel2d: jnp.ndarray,
@@ -59,8 +62,8 @@ def paed_loss_soft(gt_sdf_ext: jnp.ndarray, gt_sdf_int: jnp.ndarray,
     sdf_ext = resize_bilinear(gt_sdf_ext.astype(jnp.float32), (h, w))[..., None]
     sdf_int = resize_bilinear(gt_sdf_int.astype(jnp.float32), (h, w))[..., None]
 
-    grad_x = _conv2d_single(preds, _SOBEL_X, padding=1)
-    grad_y = _conv2d_single(preds, _SOBEL_X.T, padding=1)
+    grad_x = _conv2d_single(preds, jnp.asarray(_SOBEL_X), padding=1)
+    grad_y = _conv2d_single(preds, jnp.asarray(_SOBEL_X.T), padding=1)
     edge_map = jnp.sqrt(grad_x ** 2 + grad_y ** 2 + 1e-6)
 
     max_per_image = jnp.max(edge_map.reshape(b, -1), axis=1).reshape(b, 1, 1, 1)
