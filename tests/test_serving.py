@@ -390,3 +390,29 @@ def test_orchestrator_push_dispatch(tmp_path):
         time.sleep(0.05)
     assert store.get_job(job2["id"])["status"] == "FAILED"
     server.shutdown()
+
+
+def test_profile_capture_endpoint(serving, tmp_path):
+    """POST /api/admin/profile: auth-gated jax.profiler capture of the live
+    serving workload (tracing parity the reference lacks, SURVEY.md §5)."""
+    client, store = serving
+
+    # anonymous -> 403
+    status, err = client.post_json("/api/admin/profile", {"seconds": 0.1})
+    assert status == 403
+
+    client.post_json("/api/users/register/",
+                     {"username": "ops", "password": "secret1"})
+    client.post_json("/api/users/login/",
+                     {"username": "ops", "password": "secret1"})
+    client.get("/api/csrf/")
+    csrf = client.cookies["csrftoken"]
+
+    trace_dir = str(tmp_path / "trace")
+    status, out = client.post_json(
+        "/api/admin/profile", {"seconds": 0.2, "trace_dir": trace_dir},
+        headers={"X-CSRFToken": csrf})
+    assert status == 200, out
+    assert out["trace_dir"] == trace_dir
+    import os as _os
+    assert _os.path.isdir(trace_dir) and _os.listdir(trace_dir)

@@ -94,6 +94,16 @@ def openapi_schema() -> dict:
                                 "schema": {"type": "number"}}],
                 "responses": {"200": {"description": "job"},
                               "404": {"description": "not found"}}}},
+            "/api/admin/profile": {"post": {
+                "summary": "Capture a jax.profiler trace of the live "
+                           "serving workload (admin; one at a time)",
+                "requestBody": {"content": {"application/json": {"schema": {
+                    "type": "object",
+                    "properties": {"seconds": {"type": "number"},
+                                   "trace_dir": {"type": "string"}}}}}},
+                "responses": {"200": {"description": "trace_dir written"},
+                              "403": {"description": "auth required"},
+                              "409": {"description": "capture in progress"}}}},
             "/api/inference-jobs/{id}/complete/": {"post": {
                 "summary": "External-worker completion callback (multipart "
                            "mask_image)",

@@ -60,9 +60,12 @@ class ServingApp:
     def __init__(self, store: JobStore, *, worker=None,
                  signer: Optional[SessionSigner] = None,
                  orch_url: Optional[str] = None, orch_token: str = ""):
+        import threading as _threading
+
         self.store = store
         self.worker = worker
         self.signer = signer or SessionSigner()
+        self._profile_lock = _threading.Lock()
         # External-orchestrator dispatch (the reference's call_model_server,
         # backend/core/views.py:97-114): when configured and no embedded
         # worker claims jobs, each created job is pushed to the orchestrator
@@ -181,6 +184,17 @@ class ServingApp:
                     job = self.store.wait_for_job(job_id, wait)
                 return 200, self._serialize_job(job), []
 
+        if route == "/api/admin/profile" and method == "POST":
+            # jax.profiler trace of the live serving workload (the training
+            # loop has the same via --profile-dir; the reference has no
+            # tracing at all, SURVEY.md §5). Session + CSRF gated like the
+            # admin page.
+            if self._current_user(cookies) is None:
+                return 403, {"detail": "Authentication required."}, []
+            if not self._check_csrf(cookies, headers):
+                return 403, {"detail": "CSRF verification failed."}, []
+            return self._capture_profile(_json_body(body))
+
         if route == "/api/schema" and method == "GET":
             from visiontransformer_tpu.serve.schema import openapi_schema
             return 200, openapi_schema(), []
@@ -227,6 +241,29 @@ class ServingApp:
         return 404, {"detail": "Not found."}, []
 
     # -------------------------------------------------------------- admin
+    def _capture_profile(self, opts: Dict):
+        """Blocking jax.profiler capture of the live workload; one at a
+        time. Returns the trace directory for TensorBoard."""
+        import time as _time
+
+        seconds = min(max(float(opts.get("seconds", 3) or 3), 0.1), 60.0)
+        trace_dir = opts.get("trace_dir") or os.path.join(
+            self.store.media_root, "traces",
+            _time.strftime("%Y%m%d-%H%M%S"))
+        if not self._profile_lock.acquire(blocking=False):
+            return 409, {"detail": "a profile capture is already running"}, []
+        try:
+            import jax
+
+            jax.profiler.start_trace(trace_dir)
+            _time.sleep(seconds)
+            jax.profiler.stop_trace()
+        except Exception as exc:
+            return 500, {"detail": f"profiler error: {exc}"}, []
+        finally:
+            self._profile_lock.release()
+        return 200, {"trace_dir": trace_dir, "seconds": seconds}, []
+
     def render_admin(self) -> str:
         """Read-only operations dashboard (the role of the reference's
         Django admin registrations, reference backend/core/admin.py:5-14).
