@@ -64,10 +64,9 @@ def _plot_series(ax, series, names_labels):
         ys = [p[1] for p in pts]
         ax.plot(xs, ys, color=color, linewidth=2, label=label,
                 solid_capstyle="round")
-        # direct label at the line end, in ink (identity carried by the
-        # adjacent colored line, text stays in text color)
-        ax.annotate(f" {label}", (xs[-1], ys[-1]), color=INK_2, fontsize=8,
-                    va="center")
+    # legend only: both series typically converge to the same end value,
+    # so end-of-line direct labels collide (color follows the entity —
+    # train is always slot 1, val slot 2, in every panel)
     ax.legend(frameon=False, fontsize=8, labelcolor=INK_2)
 
 
@@ -84,17 +83,26 @@ def main():
                             ("valid_loss" if "valid_loss" in series
                              else "val_loss", "val loss")])]
         if "val_IoU" in series:
-            panels.append(("IoU", [("val_IoU", "val IoU"),
-                                   ("train_IoU", "train IoU")]))
+            panels.append(("IoU", [("train_IoU", "train IoU"),
+                                   ("val_IoU", "val IoU")]))
 
         fig, axes = plt.subplots(1, len(panels),
                                  figsize=(5.2 * len(panels), 3.4))
         fig.patch.set_facecolor(SURFACE)
         if len(panels) == 1:
             axes = [axes]
-        nice = "CE multiclass" if task == "ce" else "PAED binary"
+        nice = "PAED binary" if "paed" in task else "CE multiclass"
+        config = "P16H512A8"
+        summary_path = os.path.join(ROOT, task, "summary.json")
+        if os.path.exists(summary_path):
+            import json
+            with open(summary_path) as f:
+                smry = json.load(f)
+            config = smry.get("config", config)
+            if smry.get("learning_rate"):
+                nice += f" · lr {smry['learning_rate']:g}"
         for ax, (ylabel, names) in zip(axes, panels):
-            _style(ax, f"{nice} — P16H512A8 @224², synthetic set", ylabel)
+            _style(ax, f"{nice} — {config} @224²", ylabel)
             _plot_series(ax, series, names)
         fig.tight_layout()
         out = os.path.join(ROOT, task, "curve.png")

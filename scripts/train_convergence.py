@@ -50,7 +50,12 @@ def main(task: str):
     binary = task == "paed_binary"
     data_root = tempfile.mkdtemp(prefix=f"conv_{task}_")
     if binary:
-        generate_binary(data_root, n_samples=N_SAMPLES, image_size=224)
+        # half_width 2 -> 5 px cracks: visible to the P8 patch grid (the
+        # reference's PAED scripts also train patch-8, ViTscript.py:66 —
+        # patch-16 cannot resolve the default 3 px cracks and collapses to
+        # all-background)
+        generate_binary(data_root, n_samples=N_SAMPLES, image_size=224,
+                        crack_half_width=2)
     else:
         generate_multiclass(data_root, n_samples=N_SAMPLES, image_size=256)
 
@@ -64,17 +69,22 @@ def main(task: str):
     print(f"{task}: {len(train_f)}/{len(val_f)}/{len(test_f)} "
           "train/val/test", flush=True)
 
-    entry = sweep_by_name("P16H512A8")
+    entry = sweep_by_name("P8H512A8" if binary else "P16H512A8")
     num_classes = 1 if binary else probe.num_classes
     seg_cfg = entry.seg_config(num_classes=num_classes,
                                compute_dtype="bfloat16")
 
     base = PAED_TRAIN_DEFAULTS if binary else CE_TRAIN_DEFAULTS
+    overrides = {}
+    if os.environ.get("CONV_LR"):
+        overrides["learning_rate"] = float(os.environ["CONV_LR"])
+    if os.environ.get("CONV_NO_EARLYSTOP"):
+        overrides["early_stopping_monitor"] = None
     tcfg = dataclasses.replace(base, batch_size=BATCH,
                                accumulate_grad_batches=1,
-                               max_epochs=MAX_EPOCHS)
+                               max_epochs=MAX_EPOCHS, **overrides)
 
-    out_dir = os.path.join(OUT_ROOT, task)
+    out_dir = os.path.join(OUT_ROOT, os.environ.get("CONV_TAG", task))
     os.makedirs(out_dir, exist_ok=True)
     log_root = tempfile.mkdtemp(prefix=f"conv_logs_{task}_")
     logger = CSVLogger(log_root)
@@ -87,8 +97,8 @@ def main(task: str):
     state = trainer.fit(train_ds, val_dataset=val_ds, on_epoch_end=report)
 
     # Held-out test metrics.
-    summary = {"task": task, "config": "P16H512A8", "image_size": 224,
-               "batch_size": BATCH,
+    summary = {"task": task, "config": entry.name, "image_size": 224,
+               "batch_size": BATCH, "learning_rate": tcfg.learning_rate,
                "splits": [len(train_f), len(val_f), len(test_f)],
                "synthetic_samples": N_SAMPLES}
     if binary:

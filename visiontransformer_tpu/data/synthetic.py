@@ -38,14 +38,17 @@ def _blob_mask(rng: np.random.Generator, size: int, n_blobs: int) -> np.ndarray:
     return mask
 
 
-def _crack_mask(rng: np.random.Generator, size: int) -> np.ndarray:
-    """Random-walk polyline dilated to a few px — a synthetic crack."""
+def _crack_mask(rng: np.random.Generator, size: int,
+                half_width: int = 1) -> np.ndarray:
+    """Random-walk polyline dilated to (2·half_width+1) px — a synthetic
+    crack."""
     mask = np.zeros((size, size), dtype=bool)
     y = rng.integers(size // 4, 3 * size // 4)
     x = 0
     while 0 <= x < size:
-        y = int(np.clip(y + rng.integers(-2, 3), 1, size - 2))
-        mask[max(0, y - 1):y + 2, x] = True
+        y = int(np.clip(y + rng.integers(-2, 3), half_width,
+                        size - 1 - half_width))
+        mask[y - half_width:y + half_width + 1, x] = True
         x += 1
     return mask
 
@@ -83,7 +86,7 @@ def generate_multiclass(root: str, n_samples: int = 16, image_size: int = 512,
 
 
 def generate_binary(root: str, n_samples: int = 16, image_size: int = 224,
-                    seed: int = 0) -> str:
+                    seed: int = 0, crack_half_width: int = 1) -> str:
     """Write image_png/ + mask_png/ crack pairs ({0,255} masks) under root."""
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(root, "image_png")
@@ -92,7 +95,7 @@ def generate_binary(root: str, n_samples: int = 16, image_size: int = 224,
     os.makedirs(mask_dir, exist_ok=True)
 
     for i in range(n_samples):
-        crack = _crack_mask(rng, image_size)
+        crack = _crack_mask(rng, image_size, crack_half_width)
         mask = (crack * 255).astype(np.uint8)
         base = rng.normal(128, 20, (image_size, image_size, 3))
         base[crack] -= 80
