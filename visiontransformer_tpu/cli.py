@@ -78,6 +78,11 @@ def _build_parser():
 
     e = sub.add_parser("eval-sweep", help="run the 9-config evaluation sweep")
     _add_data_args(e)
+    e.add_argument("--task", default="ce", choices=["ce", "paed_binary"],
+                   help="ce: multiclass sweep (reference "
+                        "datasetTestViTmodel.py); paed_binary: binary crack "
+                        "sweep (reference ViTscriptTest.py, with the "
+                        "per-loop config actually instantiated)")
     e.add_argument("--out", default="test")
     e.add_argument("--ckpt-root", default=None)
     e.add_argument("--batch-size", type=int, default=4)
@@ -236,6 +241,7 @@ def cmd_eval_sweep(args) -> int:
     from visiontransformer_tpu.configs import SWEEP_CONFIGS, sweep_by_name
     from visiontransformer_tpu.data import (
         CESegmentationDataset,
+        PAEDBinaryDataset,
         load_classdict,
         train_val_test_split,
     )
@@ -243,17 +249,17 @@ def cmd_eval_sweep(args) -> int:
 
     image_dir = os.path.join(args.data, "image_png")
     mask_dir = os.path.join(args.data, "mask_png")
-    probe = CESegmentationDataset(image_dir, mask_dir,
-                                  image_size=args.image_size)
+    binary = getattr(args, "task", "ce") == "paed_binary"
+    ds_cls = PAEDBinaryDataset if binary else CESegmentationDataset
+    probe = ds_cls(image_dir, mask_dir, image_size=args.image_size)
     _, _, test_files = train_val_test_split(probe.images)
-    test_ds = CESegmentationDataset(image_dir, mask_dir,
-                                    image_size=args.image_size,
-                                    subset=test_files)
+    test_ds = ds_cls(image_dir, mask_dir, image_size=args.image_size,
+                     subset=test_files)
 
     class_names = rgb_to_class = None
     classdict = args.classdict or os.path.join(args.data,
                                                "calss_names_colors.csv")
-    if os.path.exists(classdict):
+    if not binary and os.path.exists(classdict):
         rgb_to_class, class_names = load_classdict(classdict)
 
     entries = SWEEP_CONFIGS
@@ -261,7 +267,7 @@ def cmd_eval_sweep(args) -> int:
         entries = [sweep_by_name(n) for n in args.configs.split(",")]
 
     paths = run_sweep(test_ds, output_dir=args.out,
-                      num_classes=probe.num_classes,
+                      num_classes=1 if binary else probe.num_classes,
                       checkpoint_root=args.ckpt_root, entries=entries,
                       batch_size=args.batch_size,
                       num_batches=args.num_batches,
