@@ -148,3 +148,67 @@ def test_prefetch_propagates_producer_exception():
     assert next(it) == 2
     with pytest.raises(RuntimeError, match="decode failed"):
         next(it)
+
+
+def test_media_path_traversal_blocked(server, tmp_path):
+    base, store, app = server
+    secret = tmp_path / "secret.txt"
+    secret.write_text("top secret")
+    # absolute and relative escapes both 404
+    for path in ("/media/../secret.txt", "/media/..%2fsecret.txt",
+                 "/media/a/../../secret.txt"):
+        status, _, body = _request(base, "GET", path)
+        assert status == 404, (path, status)
+        assert b"top secret" not in body
+
+
+def test_tampered_session_cookie_rejected(server):
+    base, store, app = server
+    import json as _json
+    _request(base, "POST", "/api/users/register/",
+             _json.dumps({"username": "eve", "password": "pw-123456"}).encode(),
+             "application/json")
+    good = app.signer.create("eve")
+    # legitimate cookie works
+    status, _, body = _request(base, "GET", "/api/users/current-user/",
+                               headers={"Cookie": f"sessionid={good}"})
+    assert status == 200
+    # flip the signature / forge another username -> rejected
+    user, expiry, sig = good.rsplit(":", 2)
+    forged = f"admin:{expiry}:{sig}"
+    bad_sig = f"{user}:{expiry}:{'0' * len(sig)}"
+    for cookie in (forged, bad_sig, "garbage"):
+        status, _, _ = _request(base, "GET", "/api/users/current-user/",
+                                headers={"Cookie": f"sessionid={cookie}"})
+        assert status == 403, cookie
+
+
+def test_complete_requires_orchestrator_token(tmp_path):
+    """With an orch token configured, /complete/ rejects callbacks that
+    don't present it (otherwise any client with a job UUID could attach an
+    arbitrary mask)."""
+    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
+    store.register_model("m", num_classes=5, config_name="P16H512A8",
+                         input_size=32)
+    srv, app = create_server(store, worker=None, orch_token="sekret")
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        job = store.create_job(None, 1, str(tmp_path / "in.png"))
+        body, ctype = _multipart({}, {"mask_image": ("m.png", _png_bytes())})
+        status, _, _ = _request(
+            base, "POST", f"/api/inference-jobs/{job['id']}/complete/",
+            body, ctype)
+        assert status == 403
+        status, _, _ = _request(
+            base, "POST", f"/api/inference-jobs/{job['id']}/complete/",
+            body, ctype, headers={"X-ORCH-TOKEN": "wrong"})
+        assert status == 403
+        status, _, _ = _request(
+            base, "POST", f"/api/inference-jobs/{job['id']}/complete/",
+            body, ctype, headers={"X-ORCH-TOKEN": "sekret"})
+        assert status == 200
+        assert store.get_job(job["id"])["status"] == "DONE"
+    finally:
+        srv.shutdown()

@@ -30,6 +30,7 @@ contract parity (permission AllowAny, views.py:55) with user=None.
 
 from __future__ import annotations
 
+import hmac
 import json
 import mimetypes
 import os
@@ -387,6 +388,13 @@ done {self.store.count_jobs('DONE')} · failed {self.store.count_jobs('FAILED')}
             self.store.fail_job(job_id, f"orchestrator unreachable: {exc}")
 
     def _complete_job(self, job_id, headers, body):
+        # When an orchestrator token is configured, the completion callback
+        # must present it — otherwise anyone with a job UUID could attach an
+        # arbitrary mask. (The reference's complete action sits behind DRF's
+        # default IsAuthenticated, backend/project/settings.py:52-64.)
+        if self.orch_token and not hmac.compare_digest(
+                headers.get("x-orch-token", ""), self.orch_token):
+            return 403, {"detail": "Invalid orchestrator token."}, []
         job = self.store.get_job(job_id)
         if job is None:
             return 404, {"detail": "Not found."}, []
