@@ -70,6 +70,7 @@ def main():
                                  sys.argv[3], sys.argv[4])
     if len(sys.argv) > 5 and sys.argv[5] == "cli":
         return main_cli(pid, nproc, port, out_dir)
+    tp = 2 if len(sys.argv) > 5 and sys.argv[5] == "tp2" else 1
     from visiontransformer_tpu.parallel.multihost import (
         initialize_multihost,
         is_primary,
@@ -91,7 +92,7 @@ def main():
     )
     from visiontransformer_tpu.train import Trainer
 
-    mesh, _ = pod_mesh(tp=1)
+    mesh, _ = pod_mesh(tp=tp)
 
     seg_cfg = ViTSegConfig(
         vit=ViTConfig(image_size=32, patch_size=16, hidden_size=64,
@@ -122,7 +123,8 @@ def main():
         flat = {"/".join(map(str, [getattr(k, "key", k) for k in path])): leaf
                 for path, leaf in
                 jax.tree_util.tree_flatten_with_path(gathered)[0]}
-        np.savez(os.path.join(out_dir, "result.npz"), loss=loss, **flat)
+        np.savez(os.path.join(out_dir, f"result_tp{tp}.npz"), loss=loss,
+                 **flat)
     print(f"[proc {pid}] step done, loss={loss}", flush=True)
 
 

@@ -57,13 +57,19 @@ def _single_process_result():
     return float(metrics["loss"]), flat
 
 
-def test_two_process_pod_matches_single_process(tmp_path, eight_devices):
+@pytest.mark.parametrize("mode,result_name", [
+    ("dp", "result_tp1.npz"),
+    ("tp2", "result_tp2.npz"),  # dp4 x tp2: dp axis crosses the processes
+])
+def test_two_process_pod_matches_single_process(tmp_path, eight_devices,
+                                                mode, result_name):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    extra = ["tp2"] if mode == "tp2" else []
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, str(pid), "2", str(port),
-             str(tmp_path)],
+             str(tmp_path)] + extra,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for pid in range(2)
@@ -75,7 +81,7 @@ def test_two_process_pod_matches_single_process(tmp_path, eight_devices):
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
-    result = np.load(tmp_path / "result.npz")
+    result = np.load(tmp_path / result_name)
     ref_loss, ref_params = _single_process_result()
 
     # Identical data, identical fold_in RNG stream, deterministic CPU math:
