@@ -69,3 +69,38 @@ def test_prefetch_preserves_order_and_content():
     assert len(direct) == len(fetched) == 3
     for a, b in zip(direct, fetched):
         np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
+def test_dataset_cache_parity(tmp_path):
+    """cache=True returns identical samples while skipping re-decode."""
+    from visiontransformer_tpu.data.dataset import (
+        CESegmentationDataset,
+        PAEDBinaryDataset,
+    )
+    from visiontransformer_tpu.data.synthetic import (
+        generate_binary,
+        generate_multiclass,
+    )
+
+    root = str(tmp_path / "mc")
+    generate_multiclass(root, n_samples=4, image_size=64)
+    kw = dict(image_size=64)
+    plain = CESegmentationDataset(root + "/image_png", root + "/mask_png",
+                                  **kw)
+    cached = CESegmentationDataset(root + "/image_png", root + "/mask_png",
+                                   cache=True, **kw)
+    for i in range(len(plain)):
+        for a, b in zip(plain[i], cached[i]):
+            np.testing.assert_array_equal(a, b)
+    # second access is a cache hit returning the same arrays
+    assert cached[1][0] is cached[1][0]
+
+    rootb = str(tmp_path / "bin")
+    generate_binary(rootb, n_samples=3, image_size=64)
+    pb = PAEDBinaryDataset(rootb + "/image_png", rootb + "/mask_png",
+                           image_size=64)
+    cb = PAEDBinaryDataset(rootb + "/image_png", rootb + "/mask_png",
+                           image_size=64, cache=True)
+    for i in range(len(pb)):
+        for a, b in zip(pb[i], cb[i]):
+            np.testing.assert_array_equal(a, b)

@@ -72,6 +72,10 @@ def _build_parser():
                    help="checkpoint path/dir to resume from")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace here")
+    t.add_argument("--cache-data", action="store_true",
+                   help="cache decoded+preprocessed samples in RAM "
+                        "(~0.7 MB/sample at 224²): epochs >=2 skip all "
+                        "image decode/resize host work")
     t.add_argument("--no-split", action="store_true",
                    help="reference-compatible mode: train on the full "
                         "directory instead of the 70/15/15 split")
@@ -179,10 +183,11 @@ def cmd_train(args) -> int:
         train_files = val_files = list(probe.images)
     else:
         train_files, val_files, _ = train_val_test_split(probe.images)
+    cache = getattr(args, "cache_data", False)
     train_ds = ds_cls(image_dir, mask_dir, image_size=args.image_size,
-                      subset=train_files)
+                      subset=train_files, cache=cache)
     val_ds = ds_cls(image_dir, mask_dir, image_size=args.image_size,
-                    subset=val_files)
+                    subset=val_files, cache=cache)
 
     num_classes = 1 if binary else probe.num_classes
     if args.model == "vitseg":
