@@ -128,6 +128,21 @@ def _build_parser():
     v.add_argument("--epoch", type=int, default=0)
     v.add_argument("--step", type=int, default=0)
 
+    r = sub.add_parser("register-model",
+                       help="register a model in the serving store (the "
+                            "reference does this through the Django admin)")
+    r.add_argument("--db", default="serving.db")
+    r.add_argument("--media-root", default="media")
+    r.add_argument("--name", required=True)
+    r.add_argument("--config", required=True,
+                   help="sweep config name, e.g. P16H768A12")
+    r.add_argument("--num-classes", type=int, default=17)
+    r.add_argument("--input-size", type=int, default=224)
+    r.add_argument("--ckpt", default="",
+                   help="Orbax checkpoint dir or reference .ckpt file "
+                        "(empty: random init, useful for smoke tests)")
+    r.add_argument("--description", default="")
+
     g = sub.add_parser("synth", help="generate a synthetic dataset")
     g.add_argument("--kind", choices=["multiclass", "binary"],
                    default="multiclass")
@@ -373,6 +388,25 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_register_model(args) -> int:
+    from visiontransformer_tpu.configs import sweep_by_name
+    from visiontransformer_tpu.serve.store import JobStore
+
+    sweep_by_name(args.config)  # validate early, before touching the DB
+    if args.ckpt and not os.path.exists(args.ckpt):
+        print(f"error: checkpoint {args.ckpt} does not exist",
+              file=sys.stderr)
+        return 1
+    store = JobStore(args.db, media_root=args.media_root)
+    model_id = store.register_model(
+        args.name, num_classes=args.num_classes, config_name=args.config,
+        description=args.description, input_size=args.input_size,
+        checkpoint_path=args.ckpt)
+    print(f"registered model id={model_id} name={args.name} "
+          f"config={args.config} ckpt={args.ckpt or '<random init>'}")
+    return 0
+
+
 def cmd_synth(args) -> int:
     from visiontransformer_tpu.data.synthetic import (
         generate_binary,
@@ -394,6 +428,7 @@ COMMANDS = {
     "compare": cmd_compare,
     "serve": cmd_serve,
     "convert": cmd_convert,
+    "register-model": cmd_register_model,
     "synth": cmd_synth,
 }
 
