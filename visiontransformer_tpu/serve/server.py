@@ -295,16 +295,23 @@ class ServingApp:
         worker_line = (f"embedded worker: {worker.processed} jobs processed"
                        if worker else "external-orchestrator mode (no worker)")
         return f"""<!doctype html><html lang="en"><head><title>vitseg admin</title>
-<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
-td,th{{border:1px solid #ccc;padding:4px 8px;font-size:13px}}</style></head>
+<style>body{{font-family:sans-serif;margin:2em;color:#111;background:#fff}}
+table{{border-collapse:collapse}}
+td,th{{border:1px solid #767676;padding:4px 8px;font-size:13px}}
+.sr{{position:absolute;left:-9999px}}</style></head>
 <body><h1>visiontransformer_tpu — operations</h1>
 <p>{worker_line} · jobs total {self.store.count_jobs()} ·
 done {self.store.count_jobs('DONE')} · failed {self.store.count_jobs('FAILED')}
 · users {self.store.count_users()}</p>
 <h2>Vision models</h2>
-<table><tr><th>id</th><th>name</th><th>config</th><th>classes</th><th>input</th></tr>{rows_m}</table>
+<table><caption class="sr">Registered vision models</caption>
+<tr><th scope="col">id</th><th scope="col">name</th><th scope="col">config</th>
+<th scope="col">classes</th><th scope="col">input</th></tr>{rows_m}</table>
 <h2>Latest jobs</h2>
-<table><tr><th>id</th><th>status</th><th>user</th><th>model</th><th>created</th><th>error</th></tr>{rows_j}</table>
+<table><caption class="sr">Fifty most recent inference jobs</caption>
+<tr><th scope="col">id</th><th scope="col">status</th><th scope="col">user</th>
+<th scope="col">model</th><th scope="col">created</th>
+<th scope="col">error</th></tr>{rows_j}</table>
 </body></html>"""
 
     # ---------------------------------------------------------- job CRUD
