@@ -416,3 +416,41 @@ def test_profile_capture_endpoint(serving, tmp_path):
     assert out["trace_dir"] == trace_dir
     import os as _os
     assert _os.path.isdir(trace_dir) and _os.listdir(trace_dir)
+
+
+def test_two_models_served_concurrently(tmp_path):
+    """Jobs for two different registered models interleave: the worker
+    groups claims by model and keeps one bucketed program per model."""
+    import visiontransformer_tpu.serve.worker as worker_mod
+    from visiontransformer_tpu.configs import SweepEntry
+
+    orig = worker_mod.sweep_by_name
+    worker_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
+    a = store.register_model("model-a", num_classes=5,
+                             config_name="P16H512A8", input_size=32)
+    b = store.register_model("model-b", num_classes=3,
+                             config_name="P16H768A12", input_size=32)
+    img = tmp_path / "in.png"
+    Image.fromarray(np.full((32, 32, 3), 77, np.uint8)).save(img)
+    worker = InferenceWorker(store, compute_dtype="float32",
+                             poll_interval=0.005, linger=0.0)
+    try:
+        jobs = [store.create_job(None, a if i % 2 else b, str(img))["id"]
+                for i in range(10)]
+        worker.start()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            states = [store.get_job(j)["status"] for j in jobs]
+            if all(s in ("DONE", "FAILED") for s in states):
+                break
+            time.sleep(0.1)
+        assert all(s == "DONE" for s in states), states
+        # each model got its own runner (its own compiled programs)
+        assert set(worker._runners) == {a, b}
+        # masks decode and differ in palette size source (num_classes)
+        m = np.asarray(Image.open(store.get_job(jobs[0])["mask_image"]))
+        assert m.shape[:2] == (32, 32)
+    finally:
+        worker.stop()
+        worker_mod.sweep_by_name = orig
