@@ -5,10 +5,10 @@ InferenceWorker on the real TPU, ThreadingHTTPServer — then drives it with
 concurrent HTTP clients: register/login, multipart job submit, poll until
 DONE. Reports jobs/s over the steady-state window.
 
-Round-1 number (commit a800dc7's harness): 22.5 jobs/s with 32 clients,
-ViT-B/16 @224. The raw model throughput at this config is far higher, so
-end-to-end is host/IO-bound — this harness is what measures whether the
-decode/postprocess offload actually closed the gap.
+Round-2 numbers with THIS harness (256 jobs, submit->DONE for every job):
+11.8 jobs/s full stack / 35.1 jobs/s worker-only on the single-core host
+(docs/PERFORMANCE.md "End-to-end serving"). The raw model throughput is far
+higher; end-to-end is host-CPU-bound.
 """
 
 import io
