@@ -10,6 +10,8 @@ curves.
 Usage:
   python scripts/train_convergence.py ce
   python scripts/train_convergence.py paed_binary
+  python scripts/train_convergence.py paed_multiclass
+  python scripts/train_convergence.py smp_unet     # UNet family, smp task
 """
 
 import dataclasses
@@ -69,10 +71,25 @@ def main(task: str):
     print(f"{task}: {len(train_f)}/{len(val_f)}/{len(test_f)} "
           "train/val/test", flush=True)
 
-    entry = sweep_by_name("P8H512A8" if binary else "P16H512A8")
-    num_classes = 1 if binary else probe.num_classes
-    seg_cfg = entry.seg_config(num_classes=num_classes,
-                               compute_dtype="bfloat16")
+    model = "vitseg"
+    trainer_task = task
+    if task == "smp_unet":
+        # The reference's alternate architecture (StructuralDamageModel,
+        # smp.create_model) with its CE + smp-metrics training contract.
+        from visiontransformer_tpu.models.unet import UNetConfig
+
+        model, trainer_task = "unet", "smp_multiclass"
+        entry_name = "resnet18"
+        seg_cfg = UNetConfig(encoder_name="resnet18",
+                             num_classes=probe.num_classes,
+                             compute_dtype="bfloat16")
+        entry = None
+    else:
+        entry = sweep_by_name("P8H512A8" if binary else "P16H512A8")
+        entry_name = entry.name
+        num_classes = 1 if binary else probe.num_classes
+        seg_cfg = entry.seg_config(num_classes=num_classes,
+                                   compute_dtype="bfloat16")
 
     base = PAED_TRAIN_DEFAULTS if binary else CE_TRAIN_DEFAULTS
     overrides = {}
@@ -88,7 +105,8 @@ def main(task: str):
     os.makedirs(out_dir, exist_ok=True)
     log_root = tempfile.mkdtemp(prefix=f"conv_logs_{task}_")
     logger = CSVLogger(log_root)
-    trainer = Trainer(seg_cfg, tcfg, task=task, logger=logger)
+    trainer = Trainer(seg_cfg, tcfg, task=trainer_task, model=model,
+                      logger=logger)
 
     def report(epoch, metrics):
         line = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
@@ -97,11 +115,11 @@ def main(task: str):
     state = trainer.fit(train_ds, val_dataset=val_ds, on_epoch_end=report)
 
     # Held-out test metrics.
-    summary = {"task": task, "config": entry.name, "image_size": 224,
+    summary = {"task": task, "config": entry_name, "image_size": 224,
                "batch_size": BATCH, "learning_rate": tcfg.learning_rate,
                "splits": [len(train_f), len(val_f), len(test_f)],
                "synthetic_samples": N_SAMPLES}
-    if binary:
+    if binary or entry is None:
         test_metrics = trainer.evaluate(test_ds, state.params,
                                         batch_size=4)
         summary["test"] = {k: round(float(v), 4)
