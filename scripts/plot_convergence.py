@@ -85,13 +85,24 @@ def main():
         if "val_IoU" in series:
             panels.append(("IoU", [("train_IoU", "train IoU"),
                                    ("val_IoU", "val IoU")]))
+        elif "valid_dataset_iou" in series:
+            panels.append(("micro IoU", [("train_dataset_iou", "train IoU"),
+                                         ("valid_dataset_iou", "val IoU")]))
+        elif "valid_iou" in series:
+            panels.append(("soft IoU", [("train_iou", "train IoU"),
+                                        ("valid_iou", "val IoU")]))
 
         fig, axes = plt.subplots(1, len(panels),
                                  figsize=(5.2 * len(panels), 3.4))
         fig.patch.set_facecolor(SURFACE)
         if len(panels) == 1:
             axes = [axes]
-        nice = "PAED binary" if "paed" in task else "CE multiclass"
+        nice = {"paed_binary": "PAED binary",
+                "paed_multiclass": "PAED multiclass",
+                "smp_unet": "UNet (smp family)"}.get(
+                    task.split("_lr")[0], "CE multiclass")
+        if task.startswith("paed_binary"):
+            nice = "PAED binary"
         config = "P16H512A8"
         summary_path = os.path.join(ROOT, task, "summary.json")
         if os.path.exists(summary_path):
