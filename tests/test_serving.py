@@ -454,3 +454,32 @@ def test_two_models_served_concurrently(tmp_path):
     finally:
         worker.stop()
         worker_mod.sweep_by_name = orig
+
+
+def test_worker_mesh_sharded_inference_matches_single_device(tmp_path):
+    """Multi-chip serving: a dp-8 mesh-sharded ModelRunner produces the
+    same masks as the unsharded runner (virtual CPU mesh)."""
+    import visiontransformer_tpu.serve.worker as worker_mod
+    from visiontransformer_tpu.configs import SweepEntry
+
+    orig = worker_mod.sweep_by_name
+    worker_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    try:
+        row = {"config_name": "P16H512A8", "num_classes": 5,
+               "input_size": 32, "checkpoint_path": ""}
+        plain = worker_mod.ModelRunner(row, compute_dtype="float32",
+                                       buckets=(8, 16))
+        sharded = worker_mod.ModelRunner(row, compute_dtype="float32",
+                                         buckets=(8, 16), mesh_shape=(8,))
+        assert sharded.mesh is not None
+        rng = np.random.default_rng(3)
+        images = rng.random((11, 32, 32, 3)).astype(np.float32)  # pads to 16
+        np.testing.assert_array_equal(plain.predict(images),
+                                      sharded.predict(images))
+        # bucket/dp divisibility enforced
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            worker_mod.ModelRunner(row, compute_dtype="float32",
+                                   buckets=(4, 8), mesh_shape=(8,))
+    finally:
+        worker_mod.sweep_by_name = orig

@@ -115,6 +115,9 @@ def _build_parser():
     s.add_argument("--db", default="serving.db")
     s.add_argument("--media-root", default="media")
     s.add_argument("--no-worker", action="store_true")
+    s.add_argument("--mesh", default=None,
+                   help="shard inference batches over a dp device mesh, "
+                        "e.g. --mesh 8 (multi-chip serving)")
 
     v = sub.add_parser("convert",
                        help="convert a reference PyTorch-Lightning .ckpt "
@@ -363,7 +366,8 @@ def cmd_serve(args) -> int:
 
     sys.argv = ["serve", "--host", args.host, "--port", str(args.port),
                 "--db", args.db, "--media-root", args.media_root] + (
-                    ["--no-worker"] if args.no_worker else [])
+                    ["--no-worker"] if args.no_worker else []) + (
+                    ["--mesh", args.mesh] if args.mesh else [])
     serve_main()
     return 0
 

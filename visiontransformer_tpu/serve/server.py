@@ -608,7 +608,18 @@ def main():  # pragma: no cover - manual entry point
                              description="ViT-B/16 multiclass damage model")
     worker = None
     if not args.no_worker:
-        worker = InferenceWorker(store, warmup=not args.no_warmup)
+        mesh_shape = (tuple(int(x) for x in args.mesh.split(","))
+                      if args.mesh else None)
+        worker_kwargs = {}
+        if mesh_shape:
+            # every bucket must divide the dp axis; keep the ladder rungs
+            # that do (or synthesize dp-multiples)
+            from visiontransformer_tpu.serve.worker import BUCKETS
+            dp = mesh_shape[0]
+            buckets = tuple(b for b in BUCKETS if b % dp == 0)
+            worker_kwargs["buckets"] = buckets or (dp, 2 * dp, 4 * dp)
+        worker = InferenceWorker(store, warmup=not args.no_warmup,
+                                 mesh_shape=mesh_shape, **worker_kwargs)
         worker.start()
     server, _ = create_server(store, host=args.host, port=args.port,
                               worker=worker, orch_url=args.orch_url,

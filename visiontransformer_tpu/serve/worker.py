@@ -48,10 +48,16 @@ BUCKETS = (1, 2, 4, 8, 16, 32)
 
 
 class ModelRunner:
-    """One loaded model: params + a single jitted bucketed forward."""
+    """One loaded model: params + a single jitted bucketed forward.
+
+    mesh_shape=(dp,) shards each inference batch over the "data" axis of a
+    device mesh — multi-chip serving (the reference's model server is
+    single-device by construction). Params replicate; XLA partitions the
+    forward. Trivial 1-device meshes collapse to plain placement (the
+    NamedSharding-on-1-device pathology, CLAUDE.md)."""
 
     def __init__(self, model_row: Dict, *, compute_dtype: str = "bfloat16",
-                 buckets: Sequence[int] = BUCKETS):
+                 buckets: Sequence[int] = BUCKETS, mesh_shape=None):
         self.buckets = tuple(sorted(buckets))
         entry = sweep_by_name(model_row["config_name"])
         self.input_size = model_row["input_size"]
@@ -62,6 +68,24 @@ class ModelRunner:
         ckpt = model_row.get("checkpoint_path") or ""
         self.params = self._load_params(ckpt)
         self.color_table = class_color_table(None, self.cfg.num_classes)
+
+        self.mesh = None
+        if mesh_shape:
+            from visiontransformer_tpu.parallel.mesh import (
+                batch_sharding,
+                create_mesh,
+                replicated,
+            )
+            mesh = create_mesh(tuple(mesh_shape))
+            if mesh.size > 1:
+                self.mesh = mesh
+                self._batch_sharding = batch_sharding(mesh)
+                self.params = jax.device_put(self.params, replicated(mesh))
+                dp = mesh.shape["data"]
+                if any(b % dp for b in self.buckets):
+                    raise ValueError(
+                        f"every bucket size {self.buckets} must be "
+                        f"divisible by the data-parallel axis ({dp})")
 
         cfg = self.cfg
 
@@ -91,6 +115,8 @@ class ModelRunner:
         if b < bucket:
             pad = np.zeros((bucket - b,) + images.shape[1:], images.dtype)
             images = np.concatenate([images, pad])
+        if self.mesh is not None:
+            images = jax.device_put(images, self._batch_sharding)
         device_masks = self._forward(self.params, jnp.asarray(images))
         return _PendingMasks(device_masks, b)
 
@@ -122,8 +148,13 @@ class InferenceWorker:
     def __init__(self, store: JobStore, *, poll_interval: float = 0.02,
                  max_batch: int = BUCKETS[-1], linger: float = 0.005,
                  compute_dtype: str = "bfloat16", warmup: bool = True,
-                 io_threads: int = 8, buckets: Sequence[int] = BUCKETS):
+                 io_threads: int = 8, buckets: Sequence[int] = BUCKETS,
+                 mesh_shape=None):
         self.warmup = warmup
+        # Multi-chip serving: shard every batch over the "data" axis of a
+        # (dp,) or (dp, 1) mesh; validated on the virtual CPU mesh
+        # (tests/test_serving.py) the same way the trainer's mesh is.
+        self.mesh_shape = mesh_shape
         # Fewer buckets = fewer compiled programs (faster cold start, the
         # dominant serving-startup cost on a remote-TPU runtime) at the
         # price of more batch padding; the full ladder minimizes padding.
@@ -241,7 +272,8 @@ class InferenceWorker:
             if row is None:
                 raise KeyError(f"unknown vision model {model_id}")
             runner = ModelRunner(row, compute_dtype=self.compute_dtype,
-                                 buckets=self.buckets)
+                                 buckets=self.buckets,
+                                 mesh_shape=self.mesh_shape)
             if self.warmup:
                 runner.warmup()
             self._runners[model_id] = runner
