@@ -85,7 +85,8 @@ def main(task: str):
                              compute_dtype="bfloat16")
         entry = None
     else:
-        entry = sweep_by_name("P8H512A8" if binary else "P16H512A8")
+        entry = sweep_by_name(os.environ.get(
+            "CONV_CONFIG", "P8H512A8" if binary else "P16H512A8"))
         entry_name = entry.name
         num_classes = 1 if binary else probe.num_classes
         seg_cfg = entry.seg_config(num_classes=num_classes,
