@@ -25,12 +25,27 @@ from visiontransformer_tpu.parallel.mesh import create_mesh
 from visiontransformer_tpu.train import Trainer
 
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
+
+
+def _worker_env():
+    """Child env: drop the parent's 8-device XLA_FLAGS (workers set their
+    own 4-device split) and guarantee the package is importable — the worker
+    script runs from tests/, so sys.path[0] is NOT the repo root, and the
+    parent may itself be importing via cwd rather than PYTHONPATH. Existing
+    PYTHONPATH entries (e.g. the TPU-tunnel site dir) are preserved."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if _REPO_ROOT not in parts:
+        parts.insert(0, _REPO_ROOT)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    return env
 
 
 def _single_process_result():
@@ -64,7 +79,7 @@ def _single_process_result():
 def test_two_process_pod_matches_single_process(tmp_path, eight_devices,
                                                 mode, result_name):
     port = _free_port()
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env = _worker_env()
     extra = ["tp2"] if mode == "tp2" else []
     procs = [
         subprocess.Popen(
@@ -103,7 +118,7 @@ def test_cli_multihost_train(tmp_path, eight_devices):
     generate_multiclass(str(tmp_path / "data"), n_samples=16, image_size=32,
                         seed=1)
     port = _free_port()
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env = _worker_env()
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, str(pid), "2", str(port),

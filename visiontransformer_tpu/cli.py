@@ -54,6 +54,10 @@ def _build_parser():
     t.add_argument("--dtype", default="bfloat16")
     t.add_argument("--mesh", default=None,
                    help="dp or dp,tp mesh shape, e.g. 8 or 4,2")
+    t.add_argument("--fsdp", action="store_true",
+                   help="fully-sharded data parallelism (ZeRO-3): shard "
+                        "params/grads/optimizer moments over the mesh's "
+                        "data axis too")
     t.add_argument("--multihost", action="store_true",
                    help="join a multi-process jax.distributed job and train "
                         "over the pod-wide mesh (auto-detected topology on "
@@ -228,6 +232,7 @@ def cmd_train(args) -> int:
         max_epochs=args.max_epochs,
         accumulate_grad_batches=args.accumulate,
         mesh_shape=_parse_mesh(args.mesh),
+        fsdp=getattr(args, "fsdp", False),
         **({"learning_rate": args.lr} if args.lr else {}))
 
     primary = True

@@ -171,6 +171,14 @@ class TrainConfig:
     log_every_n_steps: int = 50
     checkpoint_dir: Optional[str] = None
     mesh_shape: Optional[Tuple[int, ...]] = None  # (dp,) or (dp, tp); None = 1 chip
+    # ZeRO-3 / fully-sharded data parallelism: shard params, gradients and
+    # optimizer moments over the "data" mesh axis too (XLA all-gathers
+    # weights at use and reduce-scatters gradients). Composes with tensor
+    # parallelism — a leaf can be sharded on both mesh axes. fsdp_min_size
+    # overrides parallel.mesh.FSDP_MIN_SIZE (smallest element count worth
+    # sharding); None keeps the library default.
+    fsdp: bool = False
+    fsdp_min_size: Optional[int] = None
 
 
 CE_TRAIN_DEFAULTS = TrainConfig()

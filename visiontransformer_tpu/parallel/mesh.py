@@ -71,7 +71,46 @@ def _param_spec(path: tuple, leaf) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params) -> dict:
-    """NamedSharding pytree for a models/vitseg.py param pytree."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)), params)
+# Leaves below this element count stay replicated under FSDP: sharding a
+# few-KB LayerNorm scale buys nothing and costs an all-gather dispatch.
+FSDP_MIN_SIZE = 2 ** 15
+
+
+def _fsdp_spec(spec: P, leaf, dp: int, min_size: int) -> P:
+    """Add DATA_AXIS sharding to a leaf's spec (ZeRO-3 weight sharding).
+
+    Picks the largest dp-divisible axis not already taken by tensor
+    parallelism, so FSDP composes with the Megatron layout (a QKV kernel on
+    a (4, 2) mesh becomes P("data", "model"): 8-way sharded weight).
+    """
+    if dp <= 1 or leaf.size < min_size:
+        return spec
+    entries = list(spec) + [None] * (leaf.ndim - len(spec))
+    candidates = [i for i in range(leaf.ndim)
+                  if entries[i] is None and leaf.shape[i] % dp == 0
+                  and leaf.shape[i] >= dp]
+    if not candidates:
+        return spec
+    axis = max(candidates, key=lambda i: leaf.shape[i])
+    entries[axis] = DATA_AXIS
+    return P(*entries)
+
+
+def param_shardings(mesh: Mesh, params, *, fsdp: bool = False,
+                    fsdp_min_size: int = FSDP_MIN_SIZE) -> dict:
+    """NamedSharding pytree for a models/vitseg.py param pytree.
+
+    fsdp=True additionally shards every large leaf over the "data" axis
+    (fully-sharded data parallelism: params, and by inheritance the Adam
+    moments initialized from them, are split dp-ways; XLA inserts the
+    all-gather at each use and — with the trainer's gradient out_shardings —
+    a reduce-scatter on the backward pass)."""
+    dp = mesh.shape.get(DATA_AXIS, 1)
+
+    def spec_for(path, leaf):
+        spec = _param_spec(path, leaf)
+        if fsdp:
+            spec = _fsdp_spec(spec, leaf, dp, fsdp_min_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)

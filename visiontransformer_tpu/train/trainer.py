@@ -95,6 +95,13 @@ class Trainer:
         self._tb_writer = None
 
     # ------------------------------------------------------------------ init
+    def _param_shardings(self, params):
+        """Sharding pytree for params on self.mesh, honoring the FSDP config."""
+        kwargs = {"fsdp": self.train_cfg.fsdp}
+        if self.train_cfg.fsdp_min_size is not None:
+            kwargs["fsdp_min_size"] = self.train_cfg.fsdp_min_size
+        return param_shardings(self.mesh, params, **kwargs)
+
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         if rng is None:
             rng = jax.random.PRNGKey(self.train_cfg.seed)
@@ -102,7 +109,7 @@ class Trainer:
         if self.mesh is not None:
             # Shard params first; optimizer moments initialized from sharded
             # params inherit the same placement, scalars replicate.
-            params = jax.device_put(params, param_shardings(self.mesh, params))
+            params = jax.device_put(params, self._param_shardings(params))
             return TrainState(
                 params=params,
                 opt_state=self.optimizer.init(params),
@@ -113,7 +120,7 @@ class Trainer:
 
     def state_from_params(self, params) -> TrainState:
         if self.mesh is not None:
-            params = jax.device_put(params, param_shardings(self.mesh, params))
+            params = jax.device_put(params, self._param_shardings(params))
         return TrainState.create(params, self.optimizer)
 
     # ----------------------------------------------------------------- steps
@@ -126,7 +133,7 @@ class Trainer:
     # costs ~2 ms. Gradient accumulation is a lax.scan over micro-batches
     # inside the gradient program (same averaged-gradient semantics as
     # Lightning's accumulate_grad_batches; reference createViTmodel.py:74).
-    def _build_grad_step(self):
+    def _build_grad_step(self, grad_shardings=None):
         task_fn, cfg = self.task_fn, self.seg_cfg
 
         def gradients(params, batch, rng):
@@ -136,7 +143,13 @@ class Trainer:
                 loss_fn, has_aux=True)(params)
             return grads, metrics
 
-        return jax.jit(gradients)
+        if grad_shardings is None:
+            return jax.jit(gradients)
+        # FSDP: pin gradient outputs to the params' sharded layout so XLA
+        # lowers the data-axis gradient psum to a reduce-scatter and the
+        # accumulated/stored gradients stay dp-sharded (ZeRO memory law).
+        return jax.jit(gradients, out_shardings=(
+            grad_shardings, replicated(self.mesh)))
 
     def _build_accum_step(self):
         accum = self.train_cfg.accumulate_grad_batches
@@ -193,7 +206,10 @@ class Trainer:
         small compiled program each — in-program lax.scan over the micro axis
         measured pathologically slow on this runtime), then apply the update."""
         if self._train_step is None:
-            self._train_step = (self._build_grad_step(),
+            grad_shardings = None
+            if self.mesh is not None and self.train_cfg.fsdp:
+                grad_shardings = self._param_shardings(state.params)
+            self._train_step = (self._build_grad_step(grad_shardings),
                                 self._build_accum_step(),
                                 self._build_update_step())
         grad_step, (add_step, scale_step), update_step = self._train_step
