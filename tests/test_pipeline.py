@@ -1,0 +1,129 @@
+"""Pipeline-parallelism tests on the 8-virtual-device backend.
+
+The reference trains strictly single-device (devices=1, reference
+model/CE/createViTmodel.py:73); parallel/pipeline.py is part of the
+TPU-native scaling layer it lacks: a GPipe schedule written with
+shard_map + ppermute over a ("data","stage") mesh. These tests pin the
+schedule's correctness — bit-exact forward vs the sequential layer loop,
+gradient parity through scan/ppermute transposes, and dp×pp composition.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visiontransformer_tpu.configs import ViTConfig, ViTSegConfig
+from visiontransformer_tpu.models import vitseg_apply, vitseg_init
+from visiontransformer_tpu.models.vitseg import vitseg_apply_pipelined
+from visiontransformer_tpu.parallel.pipeline import (
+    create_pipeline_mesh,
+    pipeline_apply,
+    stack_stage_params,
+)
+
+TINY = ViTSegConfig(
+    vit=ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                  num_hidden_layers=4, num_attention_heads=4,
+                  intermediate_size=128),
+    num_classes=5)
+
+
+def _toy_layers(n=8, d=16):
+    rng = np.random.default_rng(0)
+    return [{"w": jnp.asarray(rng.normal(0, 0.3, (d, d)), jnp.float32),
+             "b": jnp.asarray(rng.normal(0, 0.1, (d,)), jnp.float32)}
+            for _ in range(n)]
+
+
+def _toy_layer_fn(lp, y):
+    return jnp.tanh(y @ lp["w"] + lp["b"])
+
+
+def _toy_ref(layers, x):
+    for lp in layers:
+        x = _toy_layer_fn(lp, x)
+    return x
+
+
+@pytest.mark.parametrize("shape,m", [((1, 8), 4), ((2, 4), 6), ((4, 2), 3)],
+                         ids=["pp8", "dp2xpp4", "dp4xpp2"])
+def test_pipeline_forward_matches_sequential(eight_devices, shape, m):
+    """The GPipe schedule computes exactly the sequential layer stack for
+    every dp×pp split of 8 devices and microbatch counts ≥/=/< stages."""
+    layers = _toy_layers()
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (12, 5, 16)),
+                    jnp.float32)
+    mesh = create_pipeline_mesh(shape, devices=eight_devices)
+    out = jax.jit(lambda s, x: pipeline_apply(
+        x, s, _toy_layer_fn, mesh=mesh, n_microbatches=m))(
+            stack_stage_params(layers), x)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(_toy_ref(layers, x)))
+
+
+def test_pipeline_gradients_match(eight_devices):
+    """jax.grad through the pipeline (scan + ppermute + where transposes)
+    equals the sequential gradients, including the cross-"data" psum for
+    the stage-sharded params."""
+    layers = _toy_layers()
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (12, 5, 16)),
+                    jnp.float32)
+    mesh = create_pipeline_mesh((2, 4), devices=eight_devices)
+    stacked = stack_stage_params(layers)
+
+    g_pipe = jax.jit(jax.grad(lambda s: jnp.sum(pipeline_apply(
+        x, s, _toy_layer_fn, mesh=mesh, n_microbatches=6) ** 2)))(stacked)
+    g_ref = stack_stage_params(jax.grad(
+        lambda ls: jnp.sum(_toy_ref(ls, x) ** 2))(layers))
+    for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_vitseg_pipelined_matches_plain(eight_devices):
+    """The full segmentation model with a pipelined backbone reproduces
+    vitseg_apply bit-for-bit, and a CE-style gradient matches too."""
+    params = vitseg_init(jax.random.PRNGKey(0), TINY)
+    x = jnp.asarray(np.random.default_rng(1).random((8, 32, 32, 3)),
+                    jnp.float32)
+    mesh = create_pipeline_mesh((2, 4), devices=eight_devices)
+
+    ref = jax.jit(lambda p, x: vitseg_apply(p, x, TINY))(params, x)
+    out = jax.jit(lambda p, x: vitseg_apply_pipelined(
+        p, x, TINY, mesh=mesh, n_microbatches=4))(params, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    y = jnp.asarray(np.random.default_rng(2).integers(0, 5, (8, 32, 32)),
+                    jnp.int32)
+
+    def ce(logits):
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[..., None], -1))
+
+    g_ref = jax.grad(lambda p: ce(vitseg_apply(p, x, TINY)))(params)
+    g_pipe = jax.jit(jax.grad(lambda p: ce(vitseg_apply_pipelined(
+        p, x, TINY, mesh=mesh, n_microbatches=4))))(params)
+    for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_pipeline_shape_errors(eight_devices):
+    layers = _toy_layers(n=6)  # 6 layers don't divide over 4 stages
+    x = jnp.zeros((12, 5, 16), jnp.float32)
+    mesh = create_pipeline_mesh((2, 4), devices=eight_devices)
+    with pytest.raises(ValueError, match="stages"):
+        pipeline_apply(x, stack_stage_params(layers), _toy_layer_fn,
+                       mesh=mesh, n_microbatches=6)
+    layers = _toy_layers(n=8)
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_apply(x, stack_stage_params(layers), _toy_layer_fn,
+                       mesh=mesh, n_microbatches=5)
+    with pytest.raises(ValueError, match="data axis"):
+        pipeline_apply(jnp.zeros((3, 5, 16), jnp.float32),
+                       stack_stage_params(layers), _toy_layer_fn,
+                       mesh=mesh, n_microbatches=3)
+    with pytest.raises(ValueError, match="devices"):
+        create_pipeline_mesh((3, 2), devices=eight_devices)

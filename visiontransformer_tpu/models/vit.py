@@ -111,13 +111,14 @@ def _encoder_layer(layer_params, x, cfg: ViTConfig, *, deterministic: bool,
     return x + y
 
 
-def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
+def vit_embed(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
               deterministic: bool = True, rng: Optional[jax.Array] = None,
-              attn_impl: str = "auto", dtype=jnp.float32) -> jnp.ndarray:
-    """Forward pass: (B, H, W, C) images -> (B, N+1, hidden) token states.
+              dtype=jnp.float32):
+    """Patchify + project + CLS + position embeddings + embedding dropout.
 
-    Equivalent to `ViTModel(x).last_hidden_state` in the reference
-    (reference model/CE/classes.py:247-248).
+    Returns (tokens, remaining_rng); the encoder-layer loop consumes the
+    remaining rng. Split out of vit_apply so the pipeline-parallel path
+    (vit_apply_pipelined) shares the exact embedding arithmetic.
     """
     x = patchify(images.astype(dtype), cfg.patch_size)
     x = linear(params["patch_embed"], x, dtype=dtype)
@@ -132,7 +133,21 @@ def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
         r_embed, rng = jax.random.split(rng)
     else:
         r_embed = None
-    x = dropout(r_embed, x, cfg.hidden_dropout_prob, deterministic=deterministic)
+    x = dropout(r_embed, x, cfg.hidden_dropout_prob,
+                deterministic=deterministic)
+    return x, rng
+
+
+def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
+              deterministic: bool = True, rng: Optional[jax.Array] = None,
+              attn_impl: str = "auto", dtype=jnp.float32) -> jnp.ndarray:
+    """Forward pass: (B, H, W, C) images -> (B, N+1, hidden) token states.
+
+    Equivalent to `ViTModel(x).last_hidden_state` in the reference
+    (reference model/CE/classes.py:247-248).
+    """
+    x, rng = vit_embed(params, images, cfg, deterministic=deterministic,
+                       rng=rng, dtype=dtype)
 
     layer_fn = _encoder_layer
     if cfg.remat:
@@ -150,4 +165,31 @@ def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
                                deterministic=deterministic,
                                rng=layer_rng, attn_impl=attn_impl)
 
+    return layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
+
+
+def vit_apply_pipelined(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
+                        mesh, n_microbatches: int, attn_impl: str = "auto",
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """vit_apply with the encoder layer stack run as a GPipe pipeline over
+    the mesh's "stage" axis (parallel/pipeline.py): each stage holds 1/S of
+    the transformer weights, activations hop stage-to-stage via ppermute.
+
+    Embedding / final LN stay outside the pipeline (replicated, GSPMD-
+    sharded over "data" like the rest of the model). Deterministic-only:
+    per-layer dropout rngs do not thread through the stage ring."""
+    from visiontransformer_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_stage_params,
+    )
+
+    x, _ = vit_embed(params, images, cfg, deterministic=True, rng=None,
+                     dtype=dtype)
+
+    def layer_fn(layer_params, y):
+        return _encoder_layer(layer_params, y, cfg, deterministic=True,
+                              rng=None, attn_impl=attn_impl)
+
+    x = pipeline_apply(x, stack_stage_params(params["layers"]), layer_fn,
+                       mesh=mesh, n_microbatches=n_microbatches)
     return layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)

@@ -61,6 +61,32 @@ def vitseg_apply(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
                               (images.shape[1], images.shape[2]))
 
 
+def vitseg_apply_pipelined(params: dict, images: jnp.ndarray,
+                           cfg: ViTSegConfig, *, mesh, n_microbatches: int,
+                           attn_impl: str = "auto") -> jnp.ndarray:
+    """vitseg_apply with the backbone's encoder stack pipeline-parallelized
+    over the mesh's "stage" axis (parallel/pipeline.py). Head and upsample
+    run outside the pipeline, batch-sharded over "data". Deterministic
+    (inference / eval) only."""
+    from visiontransformer_tpu.models.vit import vit_apply_pipelined
+
+    dtype = cfg.dtype
+    tokens = vit_apply_pipelined(params["backbone"], images, cfg.vit,
+                                 mesh=mesh, n_microbatches=n_microbatches,
+                                 attn_impl=attn_impl, dtype=dtype)
+
+    tokens = tokens[:, 1:, :]
+    b = tokens.shape[0]
+    g = cfg.vit.grid_size
+    features = tokens.reshape(b, g, g, cfg.vit.hidden_size)
+
+    x = conv2d(params["head_conv1"], features)
+    x = jax.nn.relu(x)
+    x = conv2d(params["head_conv2"], x)
+    return resize_bilinear_mm(x.astype(jnp.float32),
+                              (images.shape[1], images.shape[2]))
+
+
 def vitseg_logits_nchw(params: dict, images_nchw: jnp.ndarray,
                        cfg: ViTSegConfig, **kwargs) -> jnp.ndarray:
     """Torch-layout wrapper: (B, 3, H, W) in -> (B, C, H, W) logits out."""

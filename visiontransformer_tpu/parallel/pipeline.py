@@ -1,0 +1,137 @@
+"""GPipe-style pipeline parallelism over a ("data", "stage") mesh.
+
+The reference trains strictly single-device (devices=1, reference
+model/CE/createViTmodel.py:73); this is part of the TPU-native scaling layer
+it lacks. Unlike tensor parallelism (parallel/mesh.py) — which XLA derives
+from parameter shardings — a pipeline is an explicitly scheduled program, so
+it is written with shard_map + ppermute (the collective rides the ICI ring):
+
+- the L encoder layers are stacked leaf-wise and split over the "stage" mesh
+  axis (L/S contiguous layers per stage, each stage holding 1/S of the
+  transformer weights — pipeline model-memory scaling);
+- the batch is split into M microbatches and fed through the classic GPipe
+  schedule: T = M + S - 1 ticks of lax.scan, each tick computing every
+  stage's current microbatch and ppermute-ing activations one hop along the
+  stage ring. Bubble fraction = (S-1)/T, so M >> S amortizes it;
+- the "data" axis composes orthogonally: activations stay batch-sharded over
+  "data" inside the shard_map, and the gradient psum over "data" for the
+  stage-local (data-axis-unmentioned) parameters is inserted by shard_map's
+  replication checker on the transpose — dp×pp in one mesh.
+
+Everything inside is differentiable (scan / ppermute / where transposes), so
+jax.grad through pipeline_apply yields exact pipeline-parallel training.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from visiontransformer_tpu.parallel.mesh import DATA_AXIS
+
+STAGE_AXIS = "stage"
+
+
+def create_pipeline_mesh(shape: Sequence[int],
+                         devices=None) -> Mesh:
+    """Build a ("data", "stage") mesh. shape=(dp, pp)."""
+    if devices is None:
+        devices = jax.devices()
+    dp, pp = shape
+    if dp * pp != len(devices):
+        raise ValueError(f"mesh shape {tuple(shape)} != {len(devices)} devices")
+    return Mesh(np.asarray(devices).reshape(dp, pp), (DATA_AXIS, STAGE_AXIS))
+
+
+def stack_stage_params(layers: Sequence[dict]):
+    """Stack a list of per-layer param dicts into one pytree whose leaves
+    carry a leading layer axis — the form pipeline_apply shards over
+    "stage" (models/vit.py keeps params["layers"] as a Python list)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def pipeline_apply(x: jnp.ndarray, stacked_layers, layer_fn: Callable,
+                   *, mesh: Mesh, n_microbatches: int) -> jnp.ndarray:
+    """Run ``layer_fn`` over the stacked layer params as an S-stage pipeline.
+
+    x: (B, ...) activations (batch leading). stacked_layers: pytree with a
+    leading layer axis L on every leaf. layer_fn(layer_params, x) -> x
+    applies ONE layer. Returns the (B, ...) output of the full L-layer stack,
+    replicated over "stage" and batch-sharded over "data".
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_stages = mesh.shape[STAGE_AXIS]
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    n_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
+    batch = x.shape[0]
+    m = n_microbatches
+
+    if n_layers % n_stages:
+        raise ValueError(f"{n_layers} layers must divide over "
+                         f"{n_stages} pipeline stages")
+    if batch % m:
+        raise ValueError(f"batch {batch} must divide into {m} microbatches")
+    if (batch // m) % dp:
+        raise ValueError(f"microbatch {batch // m} must divide over the "
+                         f"data axis ({dp} devices)")
+    layers_per_stage = n_layers // n_stages
+
+    def stage_fn(xm, local_layers):
+        # xm: (M, b_local, ...) this data-shard's microbatches;
+        # local_layers: leaves (L/S, ...) — this stage's layer slice.
+        stage = jax.lax.axis_index(STAGE_AXIS)
+
+        def apply_local(y):
+            for j in range(layers_per_stage):
+                lp = jax.tree.map(lambda a: a[j], local_layers)
+                y = layer_fn(lp, y)
+            return y
+
+        ticks = m + n_stages - 1
+        # Stage 0 consumes microbatch t at tick t; later ticks (t >= M) feed
+        # it a repeat of the last microbatch whose outputs never land in the
+        # result (pipeline drain bubble).
+        stream = xm[jnp.minimum(jnp.arange(ticks), m - 1)]
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, xs):
+            recv, out = carry
+            xt, t = xs
+            y = apply_local(jnp.where(stage == 0, xt, recv))
+            send = jax.lax.ppermute(y, STAGE_AXIS, perm)
+            # The last stage finishes microbatch (t - (S-1)) at tick t.
+            oi = t - (n_stages - 1)
+            write = jnp.logical_and(stage == n_stages - 1, oi >= 0)
+            updated = jax.lax.dynamic_update_index_in_dim(
+                out, y, jnp.maximum(oi, 0), 0)
+            out = jnp.where(write, updated, out)
+            return (send, out), None
+
+        # The zero init carries are stage-invariant values, but the scan body
+        # makes them stage-varying (ppermute / axis_index) — mark them so the
+        # varying-manual-axes checker accepts the carry (shard_map scan rule).
+        init = jax.lax.pcast((jnp.zeros_like(xm[0]), jnp.zeros_like(xm)),
+                             (STAGE_AXIS,), to="varying")
+        (_, out), _ = jax.lax.scan(tick, init, (stream, jnp.arange(ticks)))
+        # Only the last stage holds real outputs; the psum broadcasts them
+        # around the stage ring (and proves replication to the checker).
+        out = jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out))
+        return jax.lax.psum(out, STAGE_AXIS)
+
+    xm = x.reshape(m, batch // m, *x.shape[1:])
+    data_spec = P(None, DATA_AXIS)
+    out = shard_map(
+        stage_fn, mesh=mesh,
+        in_specs=(data_spec, P(STAGE_AXIS)),
+        out_specs=data_spec,
+    )(xm, stacked_layers)
+    return out.reshape(batch, *x.shape[1:])
