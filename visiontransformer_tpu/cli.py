@@ -58,6 +58,10 @@ def _build_parser():
                    help="fully-sharded data parallelism (ZeRO-3): shard "
                         "params/grads/optimizer moments over the mesh's "
                         "data axis too")
+    t.add_argument("--seq-parallel", action="store_true",
+                   help="sequence parallelism: token-shard the residual "
+                        "stream over the tensor-parallel axis (needs a "
+                        "dp,tp mesh with tp > 1)")
     t.add_argument("--multihost", action="store_true",
                    help="join a multi-process jax.distributed job and train "
                         "over the pod-wide mesh (auto-detected topology on "
@@ -233,6 +237,7 @@ def cmd_train(args) -> int:
         accumulate_grad_batches=args.accumulate,
         mesh_shape=_parse_mesh(args.mesh),
         fsdp=getattr(args, "fsdp", False),
+        seq_parallel=getattr(args, "seq_parallel", False),
         **({"learning_rate": args.lr} if args.lr else {}))
 
     primary = True

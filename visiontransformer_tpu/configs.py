@@ -179,6 +179,10 @@ class TrainConfig:
     # sharding); None keeps the library default.
     fsdp: bool = False
     fsdp_min_size: Optional[int] = None
+    # Sequence parallelism (needs a "model" axis > 1): keep the residual
+    # stream token-sharded over the TP axis so LayerNorm/dropout/residual
+    # regions compute on N/tp tokens per device (models/vit.py act_sharding).
+    seq_parallel: bool = False
 
 
 CE_TRAIN_DEFAULTS = TrainConfig()

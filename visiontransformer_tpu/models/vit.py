@@ -140,14 +140,25 @@ def vit_embed(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
 
 def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
               deterministic: bool = True, rng: Optional[jax.Array] = None,
-              attn_impl: str = "auto", dtype=jnp.float32) -> jnp.ndarray:
+              attn_impl: str = "auto", dtype=jnp.float32,
+              act_sharding=None) -> jnp.ndarray:
     """Forward pass: (B, H, W, C) images -> (B, N+1, hidden) token states.
 
     Equivalent to `ViTModel(x).last_hidden_state` in the reference
     (reference model/CE/classes.py:247-248).
+
+    act_sharding: optional NamedSharding for the (B, N, H) residual stream,
+    re-asserted after the embedding and after every block. Passing
+    P("data", "model") gives Megatron-style sequence parallelism: the
+    LayerNorm/dropout/residual regions compute on a token shard per device
+    (XLA all-gathers tokens only where attention/matmuls need them),
+    cutting per-device activation memory for long sequences (P4: 3137
+    tokens) under tensor parallelism.
     """
     x, rng = vit_embed(params, images, cfg, deterministic=deterministic,
                        rng=rng, dtype=dtype)
+    if act_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, act_sharding)
 
     layer_fn = _encoder_layer
     if cfg.remat:
@@ -164,6 +175,8 @@ def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
             x = _encoder_layer(layer_params, x, cfg,
                                deterministic=deterministic,
                                rng=layer_rng, attn_impl=attn_impl)
+        if act_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, act_sharding)
 
     return layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
 

@@ -36,12 +36,16 @@ def vitseg_init(key: jax.Array, cfg: ViTSegConfig) -> dict:
 
 def vitseg_apply(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
                  deterministic: bool = True, rng: Optional[jax.Array] = None,
-                 attn_impl: str = "auto") -> jnp.ndarray:
-    """(B, H, W, 3) images -> (B, H, W, num_classes) logits (NHWC)."""
+                 attn_impl: str = "auto", act_sharding=None) -> jnp.ndarray:
+    """(B, H, W, 3) images -> (B, H, W, num_classes) logits (NHWC).
+
+    act_sharding: optional sequence-parallel residual-stream sharding,
+    forwarded to the backbone (see models/vit.py:vit_apply)."""
     dtype = cfg.dtype
     tokens = vit_apply(params["backbone"], images, cfg.vit,
                        deterministic=deterministic, rng=rng,
-                       attn_impl=attn_impl, dtype=dtype)
+                       attn_impl=attn_impl, dtype=dtype,
+                       act_sharding=act_sharding)
 
     # Drop CLS (reference model/CE/classes.py:250) and fold to a feature map.
     tokens = tokens[:, 1:, :]

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from visiontransformer_tpu.configs import TrainConfig
 from visiontransformer_tpu.data.pipeline import batch_iterator
 from visiontransformer_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
     batch_sharding,
     create_mesh,
     param_shardings,
@@ -65,8 +67,7 @@ class Trainer:
                 f"(the step scans that many micro-batches)")
         self.task_name = task
         self.model_family = get_model_family(model)
-        self.task_fn = partial(get_task(task),
-                               apply_fn=self.model_family.apply)
+        apply_fn = self.model_family.apply
         self.optimizer = build_optimizer(train_cfg)
         self.logger = logger
 
@@ -89,6 +90,16 @@ class Trainer:
                     f"{train_cfg.accumulate_grad_batches}) must be divisible "
                     f"by the data-parallel mesh axis ({dp} devices); pick a "
                     f"larger batch or a smaller mesh (TrainConfig.mesh_shape)")
+
+        if (self.mesh is not None and train_cfg.seq_parallel
+                and self.mesh.shape.get(MODEL_AXIS, 1) > 1
+                and model == "vitseg"):
+            # Sequence parallelism: residual stream token-sharded over the
+            # TP axis (models/vit.py act_sharding docs).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            apply_fn = partial(apply_fn, act_sharding=NamedSharding(
+                self.mesh, P(DATA_AXIS, MODEL_AXIS)))
+        self.task_fn = partial(get_task(task), apply_fn=apply_fn)
 
         self._train_step = None
         self._eval_step = None
