@@ -162,8 +162,10 @@ def test_full_job_flow(serving):
     assert job["vision_model_details"]["name"] == "tiny-vit"
 
     # worker completes it — observed via the ?wait= long-poll (blocks until
-    # the store's terminal-transition notify instead of a sleep loop)
-    deadline = time.time() + 30
+    # the store's terminal-transition notify instead of a sleep loop).
+    # Generous deadline: on this single-core host a fully loaded suite run
+    # can starve the worker thread's compile for well over 30 s.
+    deadline = time.time() + 120
     while time.time() < deadline:
         status, detail = client.get(
             f"/api/inference-jobs/{job['id']}/?wait=5")
