@@ -117,3 +117,73 @@ def test_binary_eval_sweep(tmp_path, rng):
     header = {n: i for i, n in enumerate(rows[0])}
     for row in rows[1:]:
         assert set(row[header["Pred_Classes"]].split("|")) <= {"0", "1"}
+
+
+def test_export_roundtrip_to_reference_model(tmp_path):
+    """TPU-trained pytree → reference Lightning .ckpt → the REAL reference
+    network (HF ViTModel + Sequential head, strict load) → identical
+    logits. Proves TPU-trained weights serve on the reference stack."""
+    from tests.test_model_parity import CFG, _TorchViTSeg, _hf_backbone
+    from visiontransformer_tpu.ckpt.torch_convert import (
+        load_lightning_checkpoint,
+        save_lightning_checkpoint,
+    )
+    from visiontransformer_tpu.models.vitseg import (
+        vitseg_init,
+        vitseg_logits_nchw,
+    )
+
+    seg_cfg = ViTSegConfig(vit=CFG, num_classes=5)
+    params = vitseg_init(jax.random.PRNGKey(7), seg_cfg)
+
+    ckpt_path = str(tmp_path / "epoch=2-step=50.ckpt")
+    save_lightning_checkpoint(ckpt_path, params, seg_cfg,
+                              epoch=2, global_step=50)
+
+    # Load into the actual reference-architecture torch network, STRICT:
+    # every key must exist with the right shape (incl. the zero pooler).
+    tm = _TorchViTSeg(_hf_backbone(), 5).eval()
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 2 and ckpt["global_step"] == 50
+    state = {k[len("model."):]: v for k, v in ckpt["state_dict"].items()}
+    missing, unexpected = tm.load_state_dict(state, strict=True), None
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(
+        (2, 3, CFG.image_size, CFG.image_size)).astype(np.float32)
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(vitseg_logits_nchw(params, jnp.asarray(x), seg_cfg,
+                                        attn_impl="xla"))
+    np.testing.assert_allclose(got, expected, atol=5e-5, rtol=1e-4)
+
+    # And the existing import path inverts the export exactly.
+    back = load_lightning_checkpoint(ckpt_path, seg_cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_cli(tmp_path):
+    """`export` CLI: Orbax dir → .ckpt with reference key names."""
+    from visiontransformer_tpu.ckpt.io import save_checkpoint
+    from visiontransformer_tpu.cli import main as cli_main
+    from visiontransformer_tpu.configs import sweep_by_name
+    from visiontransformer_tpu.models.vitseg import vitseg_init
+
+    seg_cfg = sweep_by_name("P16H512A8").seg_config(num_classes=4)
+    params = vitseg_init(jax.random.PRNGKey(0), seg_cfg)
+    ckpt_dir = str(tmp_path / "orbax")
+    save_checkpoint(ckpt_dir, {"params": params, "step": np.asarray(10)},
+                    epoch=1, step=10)
+
+    out = str(tmp_path / "exported.ckpt")
+    rc = cli_main(["export", "--ckpt", ckpt_dir, "--config", "P16H512A8",
+                   "--num-classes", "4", "--out", out])
+    assert rc == 0
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 1 and ckpt["global_step"] == 10
+    sd = ckpt["state_dict"]
+    assert "model.backbone.encoder.layer.0.attention.attention.query.weight" in sd
+    assert "model.seg_head.0.weight" in sd
+    assert sd["model.seg_head.2.weight"].shape[0] == 4

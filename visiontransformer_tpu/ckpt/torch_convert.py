@@ -115,3 +115,104 @@ def load_lightning_checkpoint(path: str, cfg: ViTSegConfig) -> dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("state_dict", ckpt)
     return convert_vitseg_state(state, cfg)
+
+
+# --------------------------------------------------------------------- export
+# The inverse direction: TPU-trained pytrees exported as reference-format
+# Lightning state_dicts, so models trained here load back into the
+# reference's serving stack (torch.load(ckpt)['state_dict'] at reference
+# model/CE/testViTModel.py:117-118) with the exact key names its
+# ViTSegmentationModel produces (model/CE/classes.py:240-262).
+
+def _np(leaf) -> Array:
+    # copy=True: jax Arrays export as read-only numpy views, which
+    # torch.from_numpy rejects with a warning.
+    return np.array(leaf, dtype=np.float32, copy=True)
+
+
+def _export_linear(p: dict, out: Dict[str, Array], prefix: str) -> None:
+    out[prefix + ".weight"] = _np(p["kernel"]).T
+    if "bias" in p:
+        out[prefix + ".bias"] = _np(p["bias"])
+
+
+def _export_layer_norm(p: dict, out: Dict[str, Array], prefix: str) -> None:
+    out[prefix + ".weight"] = _np(p["scale"])
+    out[prefix + ".bias"] = _np(p["bias"])
+
+
+def _export_conv(p: dict, out: Dict[str, Array], prefix: str) -> None:
+    out[prefix + ".weight"] = _np(p["kernel"]).transpose(3, 2, 0, 1)  # HWIO→OIHW
+    out[prefix + ".bias"] = _np(p["bias"])
+
+
+def export_hf_vit_state(params: dict, cfg: ViTConfig,
+                        prefix: str = "",
+                        include_pooler: bool = True) -> Dict[str, Array]:
+    """models/vit.py param pytree → HF ViTModel state_dict (numpy values).
+
+    include_pooler emits zero pooler weights so strict load_state_dict
+    succeeds against an HF ViTModel(add_pooling_layer=True) — the pooler
+    is not part of this framework's forward and the reference never uses
+    it (it consumes only last_hidden_state, model/CE/classes.py:248)."""
+    p, h = prefix, cfg.hidden_size
+    out: Dict[str, Array] = {}
+    patch = _np(params["patch_embed"]["kernel"])  # (p²·C, H)
+    out[p + "embeddings.patch_embeddings.projection.weight"] = (
+        patch.reshape(cfg.patch_size, cfg.patch_size, cfg.num_channels, h)
+        .transpose(3, 2, 0, 1))  # → OIHW
+    out[p + "embeddings.patch_embeddings.projection.bias"] = _np(
+        params["patch_embed"]["bias"])
+    out[p + "embeddings.cls_token"] = _np(params["cls_token"])
+    out[p + "embeddings.position_embeddings"] = _np(params["pos_embed"])
+    _export_layer_norm(params["final_ln"], out, p + "layernorm")
+
+    for i, layer in enumerate(params["layers"]):
+        lp = f"{p}encoder.layer.{i}."
+        kernel = _np(layer["qkv"]["kernel"])  # (H, 3H), [q|k|v] columns
+        for j, name in enumerate(("query", "key", "value")):
+            dst = lp + f"attention.attention.{name}"
+            out[dst + ".weight"] = kernel[:, j * h:(j + 1) * h].T
+            if "bias" in layer["qkv"]:
+                bias = _np(layer["qkv"]["bias"])
+                out[dst + ".bias"] = bias[j * h:(j + 1) * h]
+        _export_layer_norm(layer["ln1"], out, lp + "layernorm_before")
+        _export_linear(layer["attn_out"], out, lp + "attention.output.dense")
+        _export_layer_norm(layer["ln2"], out, lp + "layernorm_after")
+        _export_linear(layer["mlp_in"], out, lp + "intermediate.dense")
+        _export_linear(layer["mlp_out"], out, lp + "output.dense")
+
+    if include_pooler:
+        out[p + "pooler.dense.weight"] = np.zeros((h, h), np.float32)
+        out[p + "pooler.dense.bias"] = np.zeros((h,), np.float32)
+    return out
+
+
+def export_vitseg_state(params: dict, cfg: ViTSegConfig,
+                        backbone_prefix: str = "model.backbone.",
+                        head_prefix: str = "model.seg_head.",
+                        include_pooler: bool = True) -> Dict[str, Array]:
+    """Full pytree → reference ViTSegmentationModel state_dict
+    (Lightning `model.` prefixes, head Sequential indices 0 and 2,
+    reference model/CE/classes.py:240-244)."""
+    out = export_hf_vit_state(params["backbone"], cfg.vit, backbone_prefix,
+                              include_pooler=include_pooler)
+    _export_conv(params["head_conv1"], out, head_prefix + "0")
+    _export_conv(params["head_conv2"], out, head_prefix + "2")
+    return out
+
+
+def save_lightning_checkpoint(path: str, params: dict, cfg: ViTSegConfig, *,
+                              epoch: int = 0, global_step: int = 0) -> str:
+    """Write a torch-loadable .ckpt with the reference's checkpoint shape:
+    {"state_dict": ..., "epoch": N, "global_step": M} (the fields its
+    eval harness reads, reference model/CE/datasetTestViTmodel.py:131
+    parses epoch= from the filename, testViTModel.py:117 the dict).
+    Requires torch (CPU-only)."""
+    import torch
+
+    state = {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in export_vitseg_state(params, cfg).items()}
+    torch.save({"state_dict": state, "epoch": epoch,
+                "global_step": global_step}, path)
+    return path

@@ -139,6 +139,19 @@ def _build_parser():
     v.add_argument("--epoch", type=int, default=0)
     v.add_argument("--step", type=int, default=0)
 
+    e = sub.add_parser("export",
+                       help="export an Orbax checkpoint as a reference-"
+                            "format PyTorch-Lightning .ckpt (inverse of "
+                            "convert; TPU-trained weights load back into "
+                            "the reference stack)")
+    e.add_argument("--ckpt", required=True,
+                   help="Orbax checkpoint path (or a directory of "
+                        "epoch=N-step=M checkpoints, latest picked)")
+    e.add_argument("--config", required=True,
+                   help="sweep config name, e.g. P8H1024A16")
+    e.add_argument("--num-classes", type=int, default=17)
+    e.add_argument("--out", required=True, help="output .ckpt file path")
+
     r = sub.add_parser("register-model",
                        help="register a model in the serving store (the "
                             "reference does this through the Django admin)")
@@ -402,6 +415,35 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Orbax checkpoint -> reference Lightning .ckpt
+    (ckpt/torch_convert.py export side; `convert` is the load side)."""
+    import numpy as np
+
+    from visiontransformer_tpu.ckpt.io import (
+        get_latest_checkpoint,
+        parse_epoch,
+        restore_checkpoint,
+    )
+    from visiontransformer_tpu.ckpt.torch_convert import (
+        save_lightning_checkpoint,
+    )
+    from visiontransformer_tpu.configs import sweep_by_name
+
+    path = args.ckpt
+    if os.path.isdir(path) and get_latest_checkpoint(path):
+        path = get_latest_checkpoint(path)
+    restored = restore_checkpoint(path)
+    params = restored.get("params", restored)
+    step = int(np.asarray(restored["step"])) if "step" in restored else 0
+    epoch = parse_epoch(path) or 0
+    cfg = sweep_by_name(args.config).seg_config(num_classes=args.num_classes)
+    out = save_lightning_checkpoint(args.out, params, cfg,
+                                    epoch=epoch, global_step=step)
+    print(out)
+    return 0
+
+
 def cmd_register_model(args) -> int:
     from visiontransformer_tpu.configs import sweep_by_name
     from visiontransformer_tpu.serve.store import JobStore
@@ -442,6 +484,7 @@ COMMANDS = {
     "compare": cmd_compare,
     "serve": cmd_serve,
     "convert": cmd_convert,
+    "export": cmd_export,
     "register-model": cmd_register_model,
     "synth": cmd_synth,
 }
