@@ -42,11 +42,11 @@ def _build_parser():
     t.add_argument("--task", default="ce",
                    choices=["ce", "smp_multiclass", "paed_multiclass",
                             "paed_binary"])
-    t.add_argument("--model", default="vitseg", choices=["vitseg", "unet"])
+    t.add_argument("--model", default="vitseg", choices=["vitseg", "unet", "fpn"])
     t.add_argument("--config", default="P16H1024A16",
                    help="sweep config name (vitseg) e.g. P16H512A8")
     t.add_argument("--encoder", default="resnet34",
-                   help="encoder preset (unet)")
+                   help="encoder preset (unet/fpn)")
     t.add_argument("--batch-size", type=int, default=4)
     t.add_argument("--lr", type=float, default=None)
     t.add_argument("--max-epochs", type=int, default=100)
@@ -236,6 +236,11 @@ def cmd_train(args) -> int:
         seg_cfg = dataclasses.replace(
             seg_cfg, vit=dataclasses.replace(seg_cfg.vit,
                                              image_size=args.image_size))
+    elif args.model == "fpn":
+        from visiontransformer_tpu.models.fpn import FPNConfig
+        seg_cfg = FPNConfig(encoder_name=args.encoder,
+                            num_classes=num_classes,
+                            compute_dtype=args.dtype)
     else:
         from visiontransformer_tpu.models.unet import UNetConfig
         seg_cfg = UNetConfig(encoder_name=args.encoder,

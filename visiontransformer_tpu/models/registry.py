@@ -1,10 +1,12 @@
 """Model family registry: name -> (init, apply, config type).
 
-Two families, matching the reference's capability surface:
+Three families, matching the reference's capability surface:
 - "vitseg" — ViT backbone + conv head (the primary network,
   reference model/CE/classes.py:221-262);
 - "unet"   — encoder-decoder conv net (the smp alternate,
-  reference model/CE/classes.py:105-219).
+  reference model/CE/classes.py:105-219);
+- "fpn"    — feature-pyramid decoder on the same encoder (the reference's
+  smp.create_model accepts any smp arch string, classes.py:110).
 """
 
 from __future__ import annotations
@@ -12,6 +14,7 @@ from __future__ import annotations
 from typing import Callable, NamedTuple
 
 from visiontransformer_tpu.configs import ViTSegConfig
+from visiontransformer_tpu.models.fpn import FPNConfig, fpn_apply, fpn_init
 from visiontransformer_tpu.models.unet import UNetConfig, unet_apply, unet_init
 from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
 
@@ -25,6 +28,7 @@ class ModelFamily(NamedTuple):
 MODEL_FAMILIES = {
     "vitseg": ModelFamily(vitseg_init, vitseg_apply, ViTSegConfig),
     "unet": ModelFamily(unet_init, unet_apply, UNetConfig),
+    "fpn": ModelFamily(fpn_init, fpn_apply, FPNConfig),
 }
 
 

@@ -107,22 +107,45 @@ def _block_apply(params, x, groups: int, stride: int = 1):
     return jax.nn.relu(y + shortcut)
 
 
-def unet_init(key: jax.Array, cfg: UNetConfig) -> dict:
+def encoder_init(keys, cfg) -> dict:
+    """Residual conv encoder (stem + stride-2 stages). ``keys`` is an
+    iterator of PRNG keys; ``cfg`` any config with stage_channels /
+    stage_blocks / in_channels (shared by the UNet and FPN families)."""
     channels = list(cfg.stage_channels)
     blocks = list(cfg.stage_blocks)
-    keys = iter(jax.random.split(key, 256))
-
     params = {"stem": conv2d_init(next(keys), cfg.in_channels, channels[0], 3),
               "stem_gn": _group_norm_init(channels[0]),
-              "stages": [], "decoder": []}
-
+              "stages": []}
     cin = channels[0]
-    for stage_idx, (cout, n_blocks) in enumerate(zip(channels[1:], blocks)):
+    for cout, n_blocks in zip(channels[1:], blocks):
         stage = []
         for b in range(n_blocks):
             stage.append(_block_init(next(keys), cin if b == 0 else cout, cout))
             cin = cout
         params["stages"].append(stage)
+    return params
+
+
+def encoder_apply(params: dict, x: jnp.ndarray, groups: int):
+    """Run the shared encoder; returns (deepest features, per-stage skip
+    inputs, shallowest first)."""
+    x = jax.nn.relu(_group_norm(params["stem_gn"],
+                                conv2d(params["stem"], x), groups))
+    skips = []
+    for stage in params["stages"]:
+        skips.append(x)
+        for b_idx, block in enumerate(stage):
+            x = _block_apply(block, x, groups,
+                             stride=2 if b_idx == 0 else 1)
+    return x, skips
+
+
+def unet_init(key: jax.Array, cfg: UNetConfig) -> dict:
+    channels = list(cfg.stage_channels)
+    keys = iter(jax.random.split(key, 256))
+
+    params = encoder_init(keys, cfg)
+    params["decoder"] = []
 
     # Decoder: deepest -> shallowest, skip channels from encoder stages.
     skip_channels = channels[:-1][::-1] + [0]
@@ -148,14 +171,7 @@ def unet_apply(params: dict, images: jnp.ndarray, cfg: UNetConfig, *,
         x = (x - params["norm_mean"].astype(x.dtype)) / \
             params["norm_std"].astype(x.dtype)
 
-    x = jax.nn.relu(_group_norm(params["stem_gn"],
-                                conv2d(params["stem"], x), cfg.groups))
-    skips = []
-    for stage in params["stages"]:
-        skips.append(x)
-        for b_idx, block in enumerate(stage):
-            x = _block_apply(block, x, cfg.groups,
-                             stride=2 if b_idx == 0 else 1)
+    x, skips = encoder_apply(params, x, cfg.groups)
 
     skips = skips[::-1]
     for i, dec in enumerate(params["decoder"]):
