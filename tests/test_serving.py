@@ -485,3 +485,72 @@ def test_worker_mesh_sharded_inference_matches_single_device(tmp_path):
                                    buckets=(4, 8), mesh_shape=(8,))
     finally:
         worker_mod.sweep_by_name = orig
+
+
+def test_unet_family_model_serves_jobs(tmp_path):
+    """A model registered with model_family='unet' (config_name carries the
+    encoder preset) serves jobs through the worker end to end — the serving
+    face of the generic StructuralDamageModel(arch, encoder) surface
+    (reference model/CE/classes.py:106-110)."""
+    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
+    mid = store.register_model("damage-unet", num_classes=4,
+                               config_name="small", input_size=32,
+                               model_family="unet")
+    row = store.get_model(mid)
+    assert row["model_family"] == "unet"
+
+    img = tmp_path / "in.png"
+    Image.fromarray(np.full((32, 32, 3), 120, np.uint8)).save(img)
+    worker = InferenceWorker(store, compute_dtype="float32",
+                             poll_interval=0.005, linger=0.0)
+    try:
+        job = store.create_job(None, mid, str(img))
+        worker.start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            detail = store.get_job(job["id"])
+            if detail["status"] in ("DONE", "FAILED"):
+                break
+            time.sleep(0.1)
+        assert detail["status"] == "DONE", detail
+        mask = np.asarray(Image.open(detail["mask_image"]))
+        assert mask.shape[:2] == (32, 32)
+    finally:
+        worker.stop()
+
+
+def test_model_family_migration_and_runner_validation(tmp_path):
+    """Old DBs gain the model_family column on open; .ckpt checkpoints are
+    rejected for non-vitseg families with a clear error."""
+    import sqlite3
+
+    from visiontransformer_tpu.serve.worker import ModelRunner
+
+    db = str(tmp_path / "old.db")
+    conn = sqlite3.connect(db)
+    conn.executescript("""
+CREATE TABLE vision_models (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    name TEXT UNIQUE NOT NULL,
+    description TEXT DEFAULT '',
+    num_classes INTEGER NOT NULL,
+    input_size INTEGER NOT NULL DEFAULT 224,
+    config_name TEXT NOT NULL,
+    checkpoint_path TEXT DEFAULT ''
+);
+INSERT INTO vision_models (name, num_classes, input_size, config_name)
+VALUES ('legacy', 5, 32, 'P16H512A8');
+""")
+    conn.commit()
+    conn.close()
+
+    store = JobStore(db, media_root=str(tmp_path / "media"))
+    row = store.get_model(1)
+    assert row["name"] == "legacy" and row["model_family"] == "vitseg"
+
+    bad = {"config_name": "small", "num_classes": 2, "input_size": 32,
+           "model_family": "fpn",
+           "checkpoint_path": str(tmp_path / "x.ckpt")}
+    (tmp_path / "x.ckpt").write_bytes(b"")
+    with pytest.raises(ValueError, match="vitseg family only"):
+        ModelRunner(bad, compute_dtype="float32", buckets=(1,))

@@ -166,6 +166,10 @@ def _build_parser():
                    help="Orbax checkpoint dir or reference .ckpt file "
                         "(empty: random init, useful for smoke tests)")
     r.add_argument("--description", default="")
+    r.add_argument("--family", default="vitseg",
+                   choices=["vitseg", "unet", "fpn"],
+                   help="model family; --config is a sweep config for "
+                        "vitseg, an encoder preset for unet/fpn")
 
     g = sub.add_parser("synth", help="generate a synthetic dataset")
     g.add_argument("--kind", choices=["multiclass", "binary"],
@@ -453,7 +457,16 @@ def cmd_register_model(args) -> int:
     from visiontransformer_tpu.configs import sweep_by_name
     from visiontransformer_tpu.serve.store import JobStore
 
-    sweep_by_name(args.config)  # validate early, before touching the DB
+    # Validate the config early, before touching the DB: vitseg rows carry
+    # a sweep config name; unet/fpn rows carry an encoder preset.
+    if args.family == "vitseg":
+        sweep_by_name(args.config)
+    else:
+        from visiontransformer_tpu.models.unet import ENCODER_PRESETS
+        if args.config not in ENCODER_PRESETS:
+            print(f"error: unknown encoder preset {args.config!r}; "
+                  f"choose from {sorted(ENCODER_PRESETS)}", file=sys.stderr)
+            return 1
     if args.ckpt and not os.path.exists(args.ckpt):
         print(f"error: checkpoint {args.ckpt} does not exist",
               file=sys.stderr)
@@ -462,9 +475,10 @@ def cmd_register_model(args) -> int:
     model_id = store.register_model(
         args.name, num_classes=args.num_classes, config_name=args.config,
         description=args.description, input_size=args.input_size,
-        checkpoint_path=args.ckpt)
+        checkpoint_path=args.ckpt, model_family=args.family)
     print(f"registered model id={model_id} name={args.name} "
-          f"config={args.config} ckpt={args.ckpt or '<random init>'}")
+          f"family={args.family} config={args.config} "
+          f"ckpt={args.ckpt or '<random init>'}")
     return 0
 
 

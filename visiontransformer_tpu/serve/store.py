@@ -51,6 +51,7 @@ CREATE TABLE IF NOT EXISTS vision_models (
     num_classes INTEGER NOT NULL,
     input_size INTEGER NOT NULL DEFAULT 224,
     config_name TEXT NOT NULL,
+    model_family TEXT NOT NULL DEFAULT 'vitseg',
     checkpoint_path TEXT DEFAULT ''
 );
 CREATE TABLE IF NOT EXISTS jobs (
@@ -114,6 +115,13 @@ class JobStore:
         self._terminal_cv = threading.Condition()
         with self._conn() as c:
             c.executescript(_SCHEMA)
+            # Migration for databases created before the model_family
+            # column existed (CREATE IF NOT EXISTS won't extend them).
+            cols = [r[1] for r in c.execute(
+                "PRAGMA table_info(vision_models)").fetchall()]
+            if "model_family" not in cols:
+                c.execute("ALTER TABLE vision_models ADD COLUMN"
+                          " model_family TEXT NOT NULL DEFAULT 'vitseg'")
 
     def _notify_terminal(self) -> None:
         with self._terminal_cv:
@@ -202,18 +210,22 @@ class JobStore:
     def register_model(self, name: str, *, num_classes: int,
                        config_name: str, description: str = "",
                        input_size: int = 224,
-                       checkpoint_path: str = "") -> int:
+                       checkpoint_path: str = "",
+                       model_family: str = "vitseg") -> int:
+        """model_family: "vitseg" (config_name is a sweep config) or
+        "unet"/"fpn" (config_name is an encoder preset) — the serving-side
+        face of the model registry (models/registry.py)."""
         with self._conn() as c:
             cur = c.execute(
                 "INSERT OR REPLACE INTO vision_models"
                 " (name, description, num_classes, input_size, config_name,"
-                "  checkpoint_path) VALUES (?,?,?,?,?,?)",
+                "  model_family, checkpoint_path) VALUES (?,?,?,?,?,?,?)",
                 (name, description, num_classes, input_size, config_name,
-                 checkpoint_path))
+                 model_family, checkpoint_path))
             return cur.lastrowid
 
     _MODEL_COLS = ("id, name, description, num_classes, input_size,"
-                   " config_name, checkpoint_path")
+                   " config_name, model_family, checkpoint_path")
 
     def list_models(self) -> List[Dict]:
         with self._conn() as c:
@@ -233,7 +245,8 @@ class JobStore:
     def _model_dict(row) -> Dict:
         return {"id": row[0], "name": row[1], "description": row[2],
                 "num_classes": row[3], "input_size": row[4],
-                "config_name": row[5], "checkpoint_path": row[6]}
+                "config_name": row[5], "model_family": row[6],
+                "checkpoint_path": row[7]}
 
     # --------------------------------------------------------------- jobs
     def create_job(self, user_id: Optional[int], vision_model_id: int,

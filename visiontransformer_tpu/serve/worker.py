@@ -59,12 +59,22 @@ class ModelRunner:
     def __init__(self, model_row: Dict, *, compute_dtype: str = "bfloat16",
                  buckets: Sequence[int] = BUCKETS, mesh_shape=None):
         self.buckets = tuple(sorted(buckets))
-        entry = sweep_by_name(model_row["config_name"])
         self.input_size = model_row["input_size"]
-        self.cfg = ViTSegConfig(
-            vit=entry.vit_config(image_size=self.input_size),
-            num_classes=model_row["num_classes"],
-            compute_dtype=compute_dtype)
+        self.family = model_row.get("model_family") or "vitseg"
+        if self.family == "vitseg":
+            entry = sweep_by_name(model_row["config_name"])
+            self.cfg = ViTSegConfig(
+                vit=entry.vit_config(image_size=self.input_size),
+                num_classes=model_row["num_classes"],
+                compute_dtype=compute_dtype)
+        else:
+            # unet/fpn rows carry an encoder preset in config_name
+            # (store.register_model docstring; models/registry.py).
+            from visiontransformer_tpu.models.registry import get_model_family
+            cfg_cls = get_model_family(self.family).config_cls
+            self.cfg = cfg_cls(encoder_name=model_row["config_name"],
+                               num_classes=model_row["num_classes"],
+                               compute_dtype=compute_dtype)
         ckpt = model_row.get("checkpoint_path") or ""
         self.params = self._load_params(ckpt)
         self.color_table = class_color_table(None, self.cfg.num_classes)
@@ -88,13 +98,26 @@ class ModelRunner:
                         f"divisible by the data-parallel axis ({dp})")
 
         cfg = self.cfg
+        apply_fn = self._apply_fn()
 
         @jax.jit
         def forward(params, images):
-            logits = vitseg_apply(params, images, cfg, deterministic=True)
+            logits = apply_fn(params, images, cfg, deterministic=True)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         self._forward = forward
+
+    def _apply_fn(self):
+        if self.family == "vitseg":
+            return vitseg_apply
+        from visiontransformer_tpu.models.registry import get_model_family
+        return get_model_family(self.family).apply
+
+    def _init_fn(self):
+        if self.family == "vitseg":
+            return vitseg_init
+        from visiontransformer_tpu.models.registry import get_model_family
+        return get_model_family(self.family).init
 
     def _load_params(self, ckpt: str):
         if ckpt and os.path.isdir(ckpt):
@@ -102,10 +125,14 @@ class ModelRunner:
             restored = restore_checkpoint(ckpt)
             return restored["params"] if "params" in restored else restored
         if ckpt and ckpt.endswith(".ckpt"):
+            if self.family != "vitseg":
+                raise ValueError(
+                    "Lightning .ckpt conversion is defined for the vitseg "
+                    "family only; serve unet/fpn from Orbax checkpoints")
             from visiontransformer_tpu.ckpt.torch_convert import (
                 load_lightning_checkpoint)
             return load_lightning_checkpoint(ckpt, self.cfg)
-        return vitseg_init(jax.random.PRNGKey(0), self.cfg)
+        return self._init_fn()(jax.random.PRNGKey(0), self.cfg)
 
     def dispatch(self, images: np.ndarray):
         """(B, H, W, 3) float32 -> async device masks handle (padded to a
