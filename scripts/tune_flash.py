@@ -7,6 +7,10 @@ ops/flash_attention._TUNED_BLOCKS and justify the auto-dispatch threshold in
 ops/attention.py with measured numbers (VERDICT round-1 item 5).
 
 Chained-in-jit, best-of-N (pooled chip; see CLAUDE.md).
+
+Companion: scripts/tune_flash2.py measures kernel-internal VARIANTS
+(bf16 softmax, exp2, k-chunking) at fixed blocks rather than block sizes —
+this file remains the canonical block-size sweep.
 """
 
 import itertools

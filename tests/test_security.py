@@ -212,3 +212,61 @@ def test_complete_requires_orchestrator_token(tmp_path):
         assert store.get_job(job["id"])["status"] == "DONE"
     finally:
         srv.shutdown()
+
+
+def test_complete_mask_extension_whitelisted(server):
+    """/complete/ applies the same stored-XSS extension whitelist as the
+    upload path: an .svg mask name (active content — image/svg+xml runs
+    script) is stored and served as .png."""
+    base, store, app = server
+    job = store.create_job(None, 1, "unused.png")
+    svg = b"<svg xmlns='http://www.w3.org/2000/svg'><script>1</script></svg>"
+    body, ctype = _multipart({}, {"mask_image": ("evil.svg", svg)})
+    status, _, payload = _request(
+        base, "POST", f"/api/inference-jobs/{job['id']}/complete/",
+        body, ctype)
+    assert status == 200
+    detail = store.get_job(job["id"])
+    assert detail["mask_image"].endswith(".png")
+    # And even a pre-existing .svg under media never serves as svg+xml.
+    import os
+    svg_path = os.path.join(store.media_root, "masks", "x.svg")
+    os.makedirs(os.path.dirname(svg_path), exist_ok=True)
+    with open(svg_path, "wb") as f:
+        f.write(svg)
+    status, headers, _ = _request(base, "GET", "/media/masks/x.svg")
+    assert status == 200
+    assert headers.get("Content-Type") == "application/octet-stream"
+    assert "attachment" in headers.get("Content-Disposition", "")
+
+
+def test_restore_rejects_shape_mismatch(tmp_path):
+    """Partial restore must not silently accept shape-mismatched leaves
+    (e.g. resuming a 5-class run from a 17-class checkpoint)."""
+    import numpy as np
+
+    import jax
+
+    from visiontransformer_tpu.ckpt.io import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    tree = {"params": {"w": np.zeros((17, 4), np.float32)},
+            "step": np.asarray(3)}
+    save_checkpoint(str(tmp_path / "ck"), tree, epoch=0, step=3)
+    target = {"params": {"w": jax.numpy.zeros((5, 4), jax.numpy.float32)},
+              "step": np.zeros((), np.int64)}
+    with pytest.raises(ValueError, match="does not match"):
+        restore_checkpoint(str(tmp_path / "ck" / "epoch=0-step=3"), target)
+
+
+def test_worker_max_batch_clamped_to_buckets():
+    """A claim larger than the biggest bucket would dispatch unpadded
+    (un-warmed shape; with a mesh, a batch dp can't divide)."""
+    from visiontransformer_tpu.serve.worker import InferenceWorker
+
+    store = JobStore(":memory:")
+    worker = InferenceWorker(store, buckets=(2, 6), max_batch=32,
+                             warmup=False)
+    assert worker.max_batch == 6

@@ -36,6 +36,15 @@ def _place_like(target_leaf, raw_leaf):
     import jax
 
     arr = np.asarray(raw_leaf)
+    target_shape = getattr(target_leaf, "shape", arr.shape)
+    if tuple(arr.shape) != tuple(target_shape):
+        # Same tree structure, different tensor shapes — e.g. resuming a
+        # 5-class run from a 17-class checkpoint. Orbax's strict path
+        # raised on this; the partial path must not silently accept it.
+        raise ValueError(
+            f"checkpoint leaf shape {tuple(arr.shape)} does not match the "
+            f"target's {tuple(target_shape)} — the checkpoint was written "
+            "by a different model configuration")
     if hasattr(target_leaf, "dtype"):
         arr = arr.astype(target_leaf.dtype)
     if isinstance(target_leaf, jax.Array):

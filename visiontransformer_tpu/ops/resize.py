@@ -95,8 +95,12 @@ def bilinear_matrix(out_size: int, in_size: int) -> np.ndarray:
     matmul, which is the MXU-native formulation: the gather-based path leaves
     the channel axis (e.g. 17 classes) in the minor dim where it pads to the
     128-lane tile and runs ~14× slower (measured on v5e, see
-    docs/PERFORMANCE.md). Identical arithmetic: the extra terms are exact
-    zeros, and 0·x + w_lo·x_lo + w_hi·x_hi is exact in fp32.
+    docs/PERFORMANCE.md). Same align_corners=False weights, but NOT
+    bit-identical to ``resize_bilinear``: the coordinates here are computed
+    in float64 and the matmul accumulates w_lo·x_lo + w_hi·x_hi where the
+    gather path evaluates top + w·(bot − top) — 1-ulp rounding differences
+    that can flip argmax at exact logit near-ties (README "intentional
+    divergences"; ``resize_bilinear`` remains the bit-exact-to-torch path).
     """
     scale = in_size / out_size
     src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5

@@ -103,28 +103,27 @@ def pipeline_apply(x: jnp.ndarray, stacked_layers, layer_fn: Callable,
         stream = xm[jnp.minimum(jnp.arange(ticks), m - 1)]
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        def tick(carry, xs):
-            recv, out = carry
-            xt, t = xs
+        # Every tick emits its stage output into scan's stacked ys; the
+        # carry holds ONLY the one in-flight microbatch activation
+        # (lax.scan with large carries is a measured 70× pathology on this
+        # runtime, CLAUDE.md — the full output buffer must not live there).
+        def tick(recv, xt):
             y = apply_local(jnp.where(stage == 0, xt, recv))
             send = jax.lax.ppermute(y, STAGE_AXIS, perm)
-            # The last stage finishes microbatch (t - (S-1)) at tick t.
-            oi = t - (n_stages - 1)
-            write = jnp.logical_and(stage == n_stages - 1, oi >= 0)
-            updated = jax.lax.dynamic_update_index_in_dim(
-                out, y, jnp.maximum(oi, 0), 0)
-            out = jnp.where(write, updated, out)
-            return (send, out), None
+            return send, y
 
-        # The zero init carries are stage-invariant values, but the scan body
-        # makes them stage-varying (ppermute / axis_index) — mark them so the
+        # The zero init carry is a stage-invariant value, but the scan body
+        # makes it stage-varying (ppermute / axis_index) — mark it so the
         # varying-manual-axes checker accepts the carry (shard_map scan rule).
-        init = jax.lax.pcast((jnp.zeros_like(xm[0]), jnp.zeros_like(xm)),
-                             (STAGE_AXIS,), to="varying")
-        (_, out), _ = jax.lax.scan(tick, init, (stream, jnp.arange(ticks)))
-        # Only the last stage holds real outputs; the psum broadcasts them
-        # around the stage ring (and proves replication to the checker).
-        out = jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out))
+        init = jax.lax.pcast(jnp.zeros_like(xm[0]), (STAGE_AXIS,),
+                             to="varying")
+        _, ys = jax.lax.scan(tick, init, stream)
+        # The last stage finishes microbatch i at tick i + (S-1): a static
+        # slice of ys picks the M real outputs. Only the last stage holds
+        # them; the psum broadcasts them around the stage ring (and proves
+        # replication to the checker).
+        out = jnp.where(stage == n_stages - 1, ys[n_stages - 1:],
+                        jnp.zeros_like(xm))
         return jax.lax.psum(out, STAGE_AXIS)
 
     xm = x.reshape(m, batch // m, *x.shape[1:])

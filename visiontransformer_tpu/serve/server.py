@@ -253,13 +253,24 @@ class ServingApp:
             _time.strftime("%Y%m%d-%H%M%S"))
         if not self._profile_lock.acquire(blocking=False):
             return 409, {"detail": "a profile capture is already running"}, []
+        started = False
         try:
             import jax
 
             jax.profiler.start_trace(trace_dir)
+            started = True
             _time.sleep(seconds)
             jax.profiler.stop_trace()
+            started = False
         except Exception as exc:
+            if started:
+                # A failed stop_trace (e.g. full disk) must not leave the
+                # global profiler session active — that would 500 every
+                # future capture until a server restart.
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
             return 500, {"detail": f"profiler error: {exc}"}, []
         finally:
             self._profile_lock.release()
@@ -416,7 +427,12 @@ done {self.store.count_jobs('DONE')} · failed {self.store.count_jobs('FAILED')}
             return 400, {"error": "mask_image is required."}, []
         mask_dir = os.path.join(self.store.media_root, "masks")
         os.makedirs(mask_dir, exist_ok=True)
-        ext = os.path.splitext(mask.filename)[1] or ".png"
+        # Same stored-XSS whitelist as _create_job: a client-supplied .svg
+        # name would be served back as image/svg+xml — an ACTIVE content
+        # type — from the API origin.
+        ext = os.path.splitext(mask.filename)[1].lower()
+        if ext not in _IMAGE_EXTENSIONS:
+            ext = ".png"
         mask_path = os.path.join(mask_dir, f"{job_id}{ext}")
         with open(mask_path, "wb") as f:
             f.write(mask.content)
@@ -537,7 +553,8 @@ class _Handler(BaseHTTPRequestHandler):
         ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
         # Defense in depth vs stored XSS: never serve media as an active
         # content type; force download for anything that isn't an image.
-        if not ctype.startswith("image/"):
+        # SVG counts as active — image/svg+xml documents execute script.
+        if not ctype.startswith("image/") or ctype == "image/svg+xml":
             ctype = "application/octet-stream"
         with open(full, "rb") as f:
             data = f.read()

@@ -137,6 +137,13 @@ class JobStore:
             if remaining <= 0:
                 break
             with self._terminal_cv:
+                # Re-check the status while HOLDING the lock: a completion
+                # that lands between the unlocked get_job and wait() would
+                # otherwise notify no one and cost a full wait period.
+                job = self.get_job(job_id)
+                if job is None or job["status"] not in ("PENDING",
+                                                        "PROCESSING"):
+                    break
                 self._terminal_cv.wait(min(remaining, 5.0))
             job = self.get_job(job_id)
         return job

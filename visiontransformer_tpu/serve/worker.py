@@ -40,7 +40,7 @@ from visiontransformer_tpu.evaluation.visualize import (
     class_color_table,
     colorize,
 )
-from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
+from visiontransformer_tpu.models.registry import get_model_family
 from visiontransformer_tpu.native import detections as native_detections
 from visiontransformer_tpu.serve.store import JobStore
 
@@ -70,7 +70,6 @@ class ModelRunner:
         else:
             # unet/fpn rows carry an encoder preset in config_name
             # (store.register_model docstring; models/registry.py).
-            from visiontransformer_tpu.models.registry import get_model_family
             cfg_cls = get_model_family(self.family).config_cls
             self.cfg = cfg_cls(encoder_name=model_row["config_name"],
                                num_classes=model_row["num_classes"],
@@ -98,7 +97,7 @@ class ModelRunner:
                         f"divisible by the data-parallel axis ({dp})")
 
         cfg = self.cfg
-        apply_fn = self._apply_fn()
+        apply_fn = get_model_family(self.family).apply
 
         @jax.jit
         def forward(params, images):
@@ -106,18 +105,6 @@ class ModelRunner:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         self._forward = forward
-
-    def _apply_fn(self):
-        if self.family == "vitseg":
-            return vitseg_apply
-        from visiontransformer_tpu.models.registry import get_model_family
-        return get_model_family(self.family).apply
-
-    def _init_fn(self):
-        if self.family == "vitseg":
-            return vitseg_init
-        from visiontransformer_tpu.models.registry import get_model_family
-        return get_model_family(self.family).init
 
     def _load_params(self, ckpt: str):
         if ckpt and os.path.isdir(ckpt):
@@ -132,7 +119,8 @@ class ModelRunner:
             from visiontransformer_tpu.ckpt.torch_convert import (
                 load_lightning_checkpoint)
             return load_lightning_checkpoint(ckpt, self.cfg)
-        return self._init_fn()(jax.random.PRNGKey(0), self.cfg)
+        return get_model_family(self.family).init(jax.random.PRNGKey(0),
+                                                   self.cfg)
 
     def dispatch(self, images: np.ndarray):
         """(B, H, W, 3) float32 -> async device masks handle (padded to a
@@ -188,7 +176,10 @@ class InferenceWorker:
         self.buckets = tuple(sorted(buckets))
         self.store = store
         self.poll_interval = poll_interval
-        self.max_batch = max_batch
+        # Never claim more jobs than the largest bucket holds: a claim
+        # above it would dispatch unpadded (un-warmed shape at best; with a
+        # mesh, a batch the dp axis can't divide — every job in it FAILED).
+        self.max_batch = min(max_batch, self.buckets[-1])
         # Dynamic-batching linger: when fewer than max_batch jobs are
         # pending, wait this long for more to arrive before dispatching a
         # partial bucket — classic latency/throughput knob.
