@@ -12,6 +12,7 @@ Usage:
   python scripts/train_convergence.py paed_binary
   python scripts/train_convergence.py paed_multiclass
   python scripts/train_convergence.py smp_unet     # UNet family, smp task
+  python scripts/train_convergence.py smp_fpn      # FPN family, smp task
 """
 
 import dataclasses
@@ -73,16 +74,19 @@ def main(task: str):
 
     model = "vitseg"
     trainer_task = task
-    if task == "smp_unet":
-        # The reference's alternate architecture (StructuralDamageModel,
-        # smp.create_model) with its CE + smp-metrics training contract.
+    if task in ("smp_unet", "smp_fpn"):
+        # The reference's alternate architectures (StructuralDamageModel,
+        # smp.create_model(arch, ...)) with the CE + smp-metrics contract.
+        from visiontransformer_tpu.models.fpn import FPNConfig
         from visiontransformer_tpu.models.unet import UNetConfig
 
-        model, trainer_task = "unet", "smp_multiclass"
+        model = "unet" if task == "smp_unet" else "fpn"
+        trainer_task = "smp_multiclass"
         entry_name = "resnet18"
-        seg_cfg = UNetConfig(encoder_name="resnet18",
-                             num_classes=probe.num_classes,
-                             compute_dtype="bfloat16")
+        cfg_cls = UNetConfig if model == "unet" else FPNConfig
+        seg_cfg = cfg_cls(encoder_name="resnet18",
+                          num_classes=probe.num_classes,
+                          compute_dtype="bfloat16")
         entry = None
     else:
         entry = sweep_by_name(os.environ.get(

@@ -42,6 +42,10 @@ class ViTConfig:
     # trades ~30% extra forward FLOPs for O(layers) -> O(1) activation
     # memory, the standard TPU recipe for large batches / long sequences.
     remat: bool = False
+    # Token merging (ToMe-style, ops/token_merge.py): merge this many
+    # most-similar token pairs after every encoder block — an opt-in
+    # accuracy/throughput knob for inference. 0 (default) = exact model.
+    token_merge_r: int = 0
 
     @property
     def num_patches(self) -> int:

@@ -160,6 +160,18 @@ def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
     if act_sharding is not None:
         x = jax.lax.with_sharding_constraint(x, act_sharding)
 
+    merge_state = None
+    if cfg.token_merge_r:
+        # ToMe-style acceleration (ops/token_merge.py): the sequence shrinks
+        # by r per block — every per-layer shape is still static. The final
+        # unmerge restores (B, N, H) so dense heads are unaffected.
+        from visiontransformer_tpu.ops.token_merge import (
+            init_merge_state,
+            merge_step,
+            unmerge,
+        )
+        merge_state = init_merge_state(x.shape[0], x.shape[1])
+
     layer_fn = _encoder_layer
     if cfg.remat:
         layer_fn = jax.checkpoint(
@@ -175,10 +187,15 @@ def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
             x = _encoder_layer(layer_params, x, cfg,
                                deterministic=deterministic,
                                rng=layer_rng, attn_impl=attn_impl)
+        if merge_state is not None:
+            x, merge_state = merge_step(x, merge_state, cfg.token_merge_r)
         if act_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, act_sharding)
 
-    return layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
+    x = layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
+    if merge_state is not None:
+        x = unmerge(x, merge_state)
+    return x
 
 
 def vit_apply_pipelined(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
