@@ -95,11 +95,12 @@ def serving(tmp_path_factory):
                          input_size=32)
     # Tiny config override: the registry names a sweep config; for the test
     # monkeypatch ModelRunner's config via a tiny sweep entry.
+    import visiontransformer_tpu.models.registry as registry_mod
     import visiontransformer_tpu.serve.worker as worker_mod
     from visiontransformer_tpu.configs import SweepEntry
 
-    orig = worker_mod.sweep_by_name
-    worker_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    orig = registry_mod.sweep_by_name
+    registry_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
 
     worker = InferenceWorker(store, compute_dtype="float32")
     worker.start()
@@ -110,7 +111,7 @@ def serving(tmp_path_factory):
     yield Client(base), store
     worker.stop()
     server.shutdown()
-    worker_mod.sweep_by_name = orig
+    registry_mod.sweep_by_name = orig
 
 
 def test_hello_and_schema(serving):
@@ -292,6 +293,7 @@ def test_worker_serves_trained_checkpoint(tmp_path):
 
     import jax
 
+    import visiontransformer_tpu.models.registry as registry_mod
     import visiontransformer_tpu.serve.worker as worker_mod
     from visiontransformer_tpu.ckpt.io import save_checkpoint
     from visiontransformer_tpu.configs import SweepEntry, ViTSegConfig
@@ -313,19 +315,19 @@ def test_worker_serves_trained_checkpoint(tmp_path):
                          input_size=32,
                          checkpoint_path=os.path.join(ckpt_dir,
                                                       "epoch=1-step=7"))
-    orig = worker_mod.sweep_by_name
-    worker_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    orig = registry_mod.sweep_by_name
+    registry_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
     try:
         # intermediate_size differs from the sweep default: monkeypatch the
         # entry so ModelRunner builds the matching tiny config
-        worker_mod.sweep_by_name = lambda name: entry
+        registry_mod.sweep_by_name = lambda name: entry
 
         runner = worker_mod.ModelRunner(store.get_model(1),
                                         compute_dtype="float32")
         loaded = np.asarray(runner.params["backbone"]["cls_token"])
         np.testing.assert_allclose(loaded, 0.5)
     finally:
-        worker_mod.sweep_by_name = orig
+        registry_mod.sweep_by_name = orig
 
 
 def test_orchestrator_push_dispatch(tmp_path):
@@ -423,11 +425,12 @@ def test_profile_capture_endpoint(serving, tmp_path):
 def test_two_models_served_concurrently(tmp_path):
     """Jobs for two different registered models interleave: the worker
     groups claims by model and keeps one bucketed program per model."""
+    import visiontransformer_tpu.models.registry as registry_mod
     import visiontransformer_tpu.serve.worker as worker_mod
     from visiontransformer_tpu.configs import SweepEntry
 
-    orig = worker_mod.sweep_by_name
-    worker_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    orig = registry_mod.sweep_by_name
+    registry_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
     store = JobStore(":memory:", media_root=str(tmp_path / "media"))
     a = store.register_model("model-a", num_classes=5,
                              config_name="P16H512A8", input_size=32)
@@ -455,17 +458,18 @@ def test_two_models_served_concurrently(tmp_path):
         assert m.shape[:2] == (32, 32)
     finally:
         worker.stop()
-        worker_mod.sweep_by_name = orig
+        registry_mod.sweep_by_name = orig
 
 
 def test_worker_mesh_sharded_inference_matches_single_device(tmp_path):
     """Multi-chip serving: a dp-8 mesh-sharded ModelRunner produces the
     same masks as the unsharded runner (virtual CPU mesh)."""
+    import visiontransformer_tpu.models.registry as registry_mod
     import visiontransformer_tpu.serve.worker as worker_mod
     from visiontransformer_tpu.configs import SweepEntry
 
-    orig = worker_mod.sweep_by_name
-    worker_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    orig = registry_mod.sweep_by_name
+    registry_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
     try:
         row = {"config_name": "P16H512A8", "num_classes": 5,
                "input_size": 32, "checkpoint_path": ""}
@@ -484,7 +488,7 @@ def test_worker_mesh_sharded_inference_matches_single_device(tmp_path):
             worker_mod.ModelRunner(row, compute_dtype="float32",
                                    buckets=(4, 8), mesh_shape=(8,))
     finally:
-        worker_mod.sweep_by_name = orig
+        registry_mod.sweep_by_name = orig
 
 
 def test_unet_family_model_serves_jobs(tmp_path):

@@ -152,6 +152,28 @@ def _build_parser():
     e.add_argument("--num-classes", type=int, default=17)
     e.add_argument("--out", required=True, help="output .ckpt file path")
 
+    x = sub.add_parser("export-hlo",
+                       help="export the serving forward (weights baked in) "
+                            "as a portable StableHLO artifact; deployment "
+                            "hosts run it with ckpt.stablehlo.load_serving "
+                            "— no model code or config needed")
+    x.add_argument("--ckpt", default="",
+                   help="Orbax checkpoint dir or reference .ckpt file "
+                        "(empty: random init, useful for smoke tests)")
+    x.add_argument("--config", required=True,
+                   help="sweep config name (vitseg) or encoder preset "
+                        "(unet/fpn)")
+    x.add_argument("--family", default="vitseg",
+                   choices=["vitseg", "unet", "fpn"])
+    x.add_argument("--num-classes", type=int, default=17)
+    x.add_argument("--input-size", type=int, default=224)
+    x.add_argument("--batch", type=int, default=8)
+    x.add_argument("--compute-dtype", default="bfloat16")
+    x.add_argument("--platforms", default="",
+                   help="comma-separated lowering targets, e.g. tpu,cpu "
+                        "(default: the current backend)")
+    x.add_argument("--out", required=True, help="output artifact path")
+
     r = sub.add_parser("register-model",
                        help="register a model in the serving store (the "
                             "reference does this through the Django admin)")
@@ -453,6 +475,27 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_export_hlo(args) -> int:
+    """Serving forward -> serialized StableHLO artifact (ckpt/stablehlo.py)."""
+    from visiontransformer_tpu.ckpt.io import get_latest_checkpoint
+    from visiontransformer_tpu.ckpt.stablehlo import export_serving
+    from visiontransformer_tpu.models.registry import resolve_model
+
+    ckpt = args.ckpt
+    if ckpt and os.path.isdir(ckpt) and get_latest_checkpoint(ckpt):
+        ckpt = get_latest_checkpoint(ckpt)
+    cfg, params = resolve_model(
+        args.family, args.config, num_classes=args.num_classes,
+        input_size=args.input_size, compute_dtype=args.compute_dtype,
+        checkpoint_path=ckpt)
+    platforms = [p for p in args.platforms.split(",") if p] or None
+    meta = export_serving(params, cfg, out_path=args.out,
+                          batch_size=args.batch, family=args.family,
+                          input_size=args.input_size, platforms=platforms)
+    print(f"{args.out}: {meta}")
+    return 0
+
+
 def cmd_register_model(args) -> int:
     from visiontransformer_tpu.configs import sweep_by_name
     from visiontransformer_tpu.serve.store import JobStore
@@ -504,6 +547,7 @@ COMMANDS = {
     "serve": cmd_serve,
     "convert": cmd_convert,
     "export": cmd_export,
+    "export-hlo": cmd_export_hlo,
     "register-model": cmd_register_model,
     "synth": cmd_synth,
 }

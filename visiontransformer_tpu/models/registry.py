@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
-from visiontransformer_tpu.configs import ViTSegConfig
+from visiontransformer_tpu.configs import ViTSegConfig, sweep_by_name
 from visiontransformer_tpu.models.fpn import FPNConfig, fpn_apply, fpn_init
 from visiontransformer_tpu.models.unet import UNetConfig, unet_apply, unet_init
 from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
@@ -38,3 +38,47 @@ def get_model_family(name: str) -> ModelFamily:
     except KeyError:
         raise KeyError(f"unknown model family {name!r}; "
                        f"known: {sorted(MODEL_FAMILIES)}")
+
+
+def resolve_model(family: str, config_name: str, *, num_classes: int,
+                  input_size: int = 224, compute_dtype: str = "bfloat16",
+                  checkpoint_path: str = ""):
+    """(cfg, params) for a named model of any family — the shared loader
+    behind the serving worker (serve/worker.py ModelRunner) and the
+    ``export-hlo`` CLI. ``config_name`` is a sweep config for vitseg
+    (e.g. "P16H768A12") and an encoder preset for unet/fpn.
+    checkpoint_path: Orbax directory, reference Lightning ``.ckpt``
+    (vitseg only), or empty for random init (smoke tests)."""
+    import os
+
+    import jax
+
+    fam = get_model_family(family)
+    if family == "vitseg":
+        entry = sweep_by_name(config_name)
+        cfg = ViTSegConfig(vit=entry.vit_config(image_size=input_size),
+                           num_classes=num_classes,
+                           compute_dtype=compute_dtype)
+    else:
+        cfg = fam.config_cls(encoder_name=config_name,
+                             num_classes=num_classes,
+                             compute_dtype=compute_dtype)
+
+    if checkpoint_path and os.path.isdir(checkpoint_path):
+        from visiontransformer_tpu.ckpt.io import restore_checkpoint
+
+        restored = restore_checkpoint(checkpoint_path)
+        params = restored["params"] if "params" in restored else restored
+    elif checkpoint_path and checkpoint_path.endswith(".ckpt"):
+        if family != "vitseg":
+            raise ValueError(
+                "Lightning .ckpt conversion is defined for the vitseg "
+                "family only; load unet/fpn from Orbax checkpoints")
+        from visiontransformer_tpu.ckpt.torch_convert import (
+            load_lightning_checkpoint,
+        )
+
+        params = load_lightning_checkpoint(checkpoint_path, cfg)
+    else:
+        params = fam.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params

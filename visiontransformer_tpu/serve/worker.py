@@ -35,12 +35,14 @@ from PIL import Image
 import jax
 import jax.numpy as jnp
 
-from visiontransformer_tpu.configs import ViTSegConfig, sweep_by_name
 from visiontransformer_tpu.evaluation.visualize import (
     class_color_table,
     colorize,
 )
-from visiontransformer_tpu.models.registry import get_model_family
+from visiontransformer_tpu.models.registry import (
+    get_model_family,
+    resolve_model,
+)
 from visiontransformer_tpu.native import detections as native_detections
 from visiontransformer_tpu.serve.store import JobStore
 
@@ -61,21 +63,13 @@ class ModelRunner:
         self.buckets = tuple(sorted(buckets))
         self.input_size = model_row["input_size"]
         self.family = model_row.get("model_family") or "vitseg"
-        if self.family == "vitseg":
-            entry = sweep_by_name(model_row["config_name"])
-            self.cfg = ViTSegConfig(
-                vit=entry.vit_config(image_size=self.input_size),
-                num_classes=model_row["num_classes"],
-                compute_dtype=compute_dtype)
-        else:
-            # unet/fpn rows carry an encoder preset in config_name
-            # (store.register_model docstring; models/registry.py).
-            cfg_cls = get_model_family(self.family).config_cls
-            self.cfg = cfg_cls(encoder_name=model_row["config_name"],
-                               num_classes=model_row["num_classes"],
-                               compute_dtype=compute_dtype)
-        ckpt = model_row.get("checkpoint_path") or ""
-        self.params = self._load_params(ckpt)
+        # unet/fpn rows carry an encoder preset in config_name
+        # (store.register_model docstring; models/registry.py).
+        self.cfg, self.params = resolve_model(
+            self.family, model_row["config_name"],
+            num_classes=model_row["num_classes"],
+            input_size=self.input_size, compute_dtype=compute_dtype,
+            checkpoint_path=model_row.get("checkpoint_path") or "")
         self.color_table = class_color_table(None, self.cfg.num_classes)
 
         self.mesh = None
@@ -105,22 +99,6 @@ class ModelRunner:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         self._forward = forward
-
-    def _load_params(self, ckpt: str):
-        if ckpt and os.path.isdir(ckpt):
-            from visiontransformer_tpu.ckpt.io import restore_checkpoint
-            restored = restore_checkpoint(ckpt)
-            return restored["params"] if "params" in restored else restored
-        if ckpt and ckpt.endswith(".ckpt"):
-            if self.family != "vitseg":
-                raise ValueError(
-                    "Lightning .ckpt conversion is defined for the vitseg "
-                    "family only; serve unet/fpn from Orbax checkpoints")
-            from visiontransformer_tpu.ckpt.torch_convert import (
-                load_lightning_checkpoint)
-            return load_lightning_checkpoint(ckpt, self.cfg)
-        return get_model_family(self.family).init(jax.random.PRNGKey(0),
-                                                   self.cfg)
 
     def dispatch(self, images: np.ndarray):
         """(B, H, W, 3) float32 -> async device masks handle (padded to a
