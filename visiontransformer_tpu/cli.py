@@ -42,11 +42,12 @@ def _build_parser():
     t.add_argument("--task", default="ce",
                    choices=["ce", "smp_multiclass", "paed_multiclass",
                             "paed_binary"])
-    t.add_argument("--model", default="vitseg", choices=["vitseg", "unet", "fpn"])
+    t.add_argument("--model", default="vitseg",
+                   choices=["vitseg", "unet", "fpn", "linknet"])
     t.add_argument("--config", default="P16H1024A16",
                    help="sweep config name (vitseg) e.g. P16H512A8")
     t.add_argument("--encoder", default="resnet34",
-                   help="encoder preset (unet/fpn)")
+                   help="encoder preset (unet/fpn/linknet)")
     t.add_argument("--batch-size", type=int, default=4)
     t.add_argument("--lr", type=float, default=None)
     t.add_argument("--max-epochs", type=int, default=100)
@@ -162,9 +163,9 @@ def _build_parser():
                         "(empty: random init, useful for smoke tests)")
     x.add_argument("--config", required=True,
                    help="sweep config name (vitseg) or encoder preset "
-                        "(unet/fpn)")
+                        "(unet/fpn/linknet)")
     x.add_argument("--family", default="vitseg",
-                   choices=["vitseg", "unet", "fpn"])
+                   choices=["vitseg", "unet", "fpn", "linknet"])
     x.add_argument("--num-classes", type=int, default=17)
     x.add_argument("--input-size", type=int, default=224)
     x.add_argument("--batch", type=int, default=8)
@@ -189,9 +190,9 @@ def _build_parser():
                         "(empty: random init, useful for smoke tests)")
     r.add_argument("--description", default="")
     r.add_argument("--family", default="vitseg",
-                   choices=["vitseg", "unet", "fpn"],
+                   choices=["vitseg", "unet", "fpn", "linknet"],
                    help="model family; --config is a sweep config for "
-                        "vitseg, an encoder preset for unet/fpn")
+                        "vitseg, an encoder preset for unet/fpn/linknet")
 
     g = sub.add_parser("synth", help="generate a synthetic dataset")
     g.add_argument("--kind", choices=["multiclass", "binary"],
@@ -262,16 +263,12 @@ def cmd_train(args) -> int:
         seg_cfg = dataclasses.replace(
             seg_cfg, vit=dataclasses.replace(seg_cfg.vit,
                                              image_size=args.image_size))
-    elif args.model == "fpn":
-        from visiontransformer_tpu.models.fpn import FPNConfig
-        seg_cfg = FPNConfig(encoder_name=args.encoder,
-                            num_classes=num_classes,
-                            compute_dtype=args.dtype)
     else:
-        from visiontransformer_tpu.models.unet import UNetConfig
-        seg_cfg = UNetConfig(encoder_name=args.encoder,
-                             num_classes=num_classes,
-                             compute_dtype=args.dtype)
+        # conv families (unet/fpn/linknet) share the config signature
+        from visiontransformer_tpu.models.registry import get_model_family
+        seg_cfg = get_model_family(args.model).config_cls(
+            encoder_name=args.encoder, num_classes=num_classes,
+            compute_dtype=args.dtype)
 
     base = PAED_TRAIN_DEFAULTS if binary else CE_TRAIN_DEFAULTS
     tcfg = dataclasses.replace(
@@ -501,7 +498,7 @@ def cmd_register_model(args) -> int:
     from visiontransformer_tpu.serve.store import JobStore
 
     # Validate the config early, before touching the DB: vitseg rows carry
-    # a sweep config name; unet/fpn rows carry an encoder preset.
+    # a sweep config name; conv-family rows carry an encoder preset.
     if args.family == "vitseg":
         sweep_by_name(args.config)
     else:

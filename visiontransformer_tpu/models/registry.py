@@ -1,12 +1,14 @@
 """Model family registry: name -> (init, apply, config type).
 
-Three families, matching the reference's capability surface:
-- "vitseg" — ViT backbone + conv head (the primary network,
+Four families, matching the reference's capability surface:
+- "vitseg"  — ViT backbone + conv head (the primary network,
   reference model/CE/classes.py:221-262);
-- "unet"   — encoder-decoder conv net (the smp alternate,
+- "unet"    — encoder-decoder conv net (the smp alternate,
   reference model/CE/classes.py:105-219);
-- "fpn"    — feature-pyramid decoder on the same encoder (the reference's
-  smp.create_model accepts any smp arch string, classes.py:110).
+- "fpn"     — feature-pyramid decoder on the same encoder (the reference's
+  smp.create_model accepts any smp arch string, classes.py:110);
+- "linknet" — additive-skip decoder on the same encoder (another smp arch
+  behind the same surface).
 """
 
 from __future__ import annotations
@@ -15,6 +17,11 @@ from typing import Callable, NamedTuple
 
 from visiontransformer_tpu.configs import ViTSegConfig, sweep_by_name
 from visiontransformer_tpu.models.fpn import FPNConfig, fpn_apply, fpn_init
+from visiontransformer_tpu.models.linknet import (
+    LinkNetConfig,
+    linknet_apply,
+    linknet_init,
+)
 from visiontransformer_tpu.models.unet import UNetConfig, unet_apply, unet_init
 from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
 
@@ -29,6 +36,7 @@ MODEL_FAMILIES = {
     "vitseg": ModelFamily(vitseg_init, vitseg_apply, ViTSegConfig),
     "unet": ModelFamily(unet_init, unet_apply, UNetConfig),
     "fpn": ModelFamily(fpn_init, fpn_apply, FPNConfig),
+    "linknet": ModelFamily(linknet_init, linknet_apply, LinkNetConfig),
 }
 
 
@@ -46,7 +54,8 @@ def resolve_model(family: str, config_name: str, *, num_classes: int,
     """(cfg, params) for a named model of any family — the shared loader
     behind the serving worker (serve/worker.py ModelRunner) and the
     ``export-hlo`` CLI. ``config_name`` is a sweep config for vitseg
-    (e.g. "P16H768A12") and an encoder preset for unet/fpn.
+    (e.g. "P16H768A12") and an encoder preset for the conv
+    families (unet/fpn/linknet).
     checkpoint_path: Orbax directory, reference Lightning ``.ckpt``
     (vitseg only), or empty for random init (smoke tests)."""
     import os
@@ -73,7 +82,7 @@ def resolve_model(family: str, config_name: str, *, num_classes: int,
         if family != "vitseg":
             raise ValueError(
                 "Lightning .ckpt conversion is defined for the vitseg "
-                "family only; load unet/fpn from Orbax checkpoints")
+                "family only; load conv families from Orbax checkpoints")
         from visiontransformer_tpu.ckpt.torch_convert import (
             load_lightning_checkpoint,
         )

@@ -63,7 +63,7 @@ class ModelRunner:
         self.buckets = tuple(sorted(buckets))
         self.input_size = model_row["input_size"]
         self.family = model_row.get("model_family") or "vitseg"
-        # unet/fpn rows carry an encoder preset in config_name
+        # conv-family rows carry an encoder preset in config_name
         # (store.register_model docstring; models/registry.py).
         self.cfg, self.params = resolve_model(
             self.family, model_row["config_name"],
