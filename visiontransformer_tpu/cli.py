@@ -43,11 +43,11 @@ def _build_parser():
                    choices=["ce", "smp_multiclass", "paed_multiclass",
                             "paed_binary"])
     t.add_argument("--model", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet"])
+                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet"])
     t.add_argument("--config", default="P16H1024A16",
                    help="sweep config name (vitseg) e.g. P16H512A8")
     t.add_argument("--encoder", default="resnet34",
-                   help="encoder preset (unet/fpn/linknet)")
+                   help="encoder preset (conv families)")
     t.add_argument("--batch-size", type=int, default=4)
     t.add_argument("--lr", type=float, default=None)
     t.add_argument("--max-epochs", type=int, default=100)
@@ -163,9 +163,9 @@ def _build_parser():
                         "(empty: random init, useful for smoke tests)")
     x.add_argument("--config", required=True,
                    help="sweep config name (vitseg) or encoder preset "
-                        "(unet/fpn/linknet)")
+                        "(conv families)")
     x.add_argument("--family", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet"])
+                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet"])
     x.add_argument("--num-classes", type=int, default=17)
     x.add_argument("--input-size", type=int, default=224)
     x.add_argument("--batch", type=int, default=8)
@@ -190,9 +190,9 @@ def _build_parser():
                         "(empty: random init, useful for smoke tests)")
     r.add_argument("--description", default="")
     r.add_argument("--family", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet"],
+                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet"],
                    help="model family; --config is a sweep config for "
-                        "vitseg, an encoder preset for unet/fpn/linknet")
+                        "vitseg, an encoder preset for the conv families")
 
     g = sub.add_parser("synth", help="generate a synthetic dataset")
     g.add_argument("--kind", choices=["multiclass", "binary"],
@@ -264,7 +264,7 @@ def cmd_train(args) -> int:
             seg_cfg, vit=dataclasses.replace(seg_cfg.vit,
                                              image_size=args.image_size))
     else:
-        # conv families (unet/fpn/linknet) share the config signature
+        # conv families share the config signature
         from visiontransformer_tpu.models.registry import get_model_family
         seg_cfg = get_model_family(args.model).config_cls(
             encoder_name=args.encoder, num_classes=num_classes,

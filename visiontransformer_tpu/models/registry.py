@@ -1,6 +1,6 @@
 """Model family registry: name -> (init, apply, config type).
 
-Four families, matching the reference's capability surface:
+Five families, matching the reference's capability surface:
 - "vitseg"  — ViT backbone + conv head (the primary network,
   reference model/CE/classes.py:221-262);
 - "unet"    — encoder-decoder conv net (the smp alternate,
@@ -8,7 +8,9 @@ Four families, matching the reference's capability surface:
 - "fpn"     — feature-pyramid decoder on the same encoder (the reference's
   smp.create_model accepts any smp arch string, classes.py:110);
 - "linknet" — additive-skip decoder on the same encoder (another smp arch
-  behind the same surface).
+  behind the same surface);
+- "pspnet"  — pyramid-pooling decoder on the same encoder (another smp
+  arch behind the same surface).
 """
 
 from __future__ import annotations
@@ -21,6 +23,11 @@ from visiontransformer_tpu.models.linknet import (
     LinkNetConfig,
     linknet_apply,
     linknet_init,
+)
+from visiontransformer_tpu.models.pspnet import (
+    PSPNetConfig,
+    pspnet_apply,
+    pspnet_init,
 )
 from visiontransformer_tpu.models.unet import UNetConfig, unet_apply, unet_init
 from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
@@ -37,6 +44,7 @@ MODEL_FAMILIES = {
     "unet": ModelFamily(unet_init, unet_apply, UNetConfig),
     "fpn": ModelFamily(fpn_init, fpn_apply, FPNConfig),
     "linknet": ModelFamily(linknet_init, linknet_apply, LinkNetConfig),
+    "pspnet": ModelFamily(pspnet_init, pspnet_apply, PSPNetConfig),
 }
 
 
