@@ -34,7 +34,7 @@ _MAGIC = b"VTSHLO1\n"
 
 def serving_input_size(cfg, family: str, input_size: Optional[int]) -> int:
     """The static image side the artifact is exported for. vitseg is fixed
-    by its patch grid; conv families (unet/fpn/linknet/pspnet) accept any size,
+    by its patch grid; conv families accept any size,
     so the caller picks one (required — StableHLO artifacts are
     static-shape)."""
     if family == "vitseg":

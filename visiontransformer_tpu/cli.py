@@ -43,7 +43,7 @@ def _build_parser():
                    choices=["ce", "smp_multiclass", "paed_multiclass",
                             "paed_binary"])
     t.add_argument("--model", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet"])
+                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet", "deeplabv3"])
     t.add_argument("--config", default="P16H1024A16",
                    help="sweep config name (vitseg) e.g. P16H512A8")
     t.add_argument("--encoder", default="resnet34",
@@ -165,7 +165,7 @@ def _build_parser():
                    help="sweep config name (vitseg) or encoder preset "
                         "(conv families)")
     x.add_argument("--family", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet"])
+                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet", "deeplabv3"])
     x.add_argument("--num-classes", type=int, default=17)
     x.add_argument("--input-size", type=int, default=224)
     x.add_argument("--batch", type=int, default=8)
@@ -190,7 +190,7 @@ def _build_parser():
                         "(empty: random init, useful for smoke tests)")
     r.add_argument("--description", default="")
     r.add_argument("--family", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet"],
+                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet", "deeplabv3"],
                    help="model family; --config is a sweep config for "
                         "vitseg, an encoder preset for the conv families")
 

@@ -1,0 +1,128 @@
+"""DeepLabV3 segmentation family (atrous spatial pyramid pooling).
+
+Fifth alternate architecture behind the reference's generic
+`StructuralDamageModel(arch, encoder_name, ...)` wrapper — its
+`smp.create_model(arch, ...)` accepts any smp architecture string
+(reference model/CE/classes.py:106-110), of which this package implements
+"unet", "fpn", "linknet", "pspnet" and "deeplabv3" (this module) natively.
+
+TPU-native design, same conventions as the other conv families: the
+shared residual GroupNorm encoder (models/unet.py:encoder_init/
+encoder_apply), NHWC layout, XLA-lowered convs on the MXU. Decoder
+topology follows the ASPP shape smp builds — on the deepest features,
+parallel branches of a 1×1 conv, three 3×3 atrous convs at increasing
+dilation rates, and a global-average-pool + 1×1 conv image-level branch
+(broadcast back over space), concatenated and fused by a 1×1 projection
+before the class head. Atrous convolution is a single
+`lax.conv_general_dilated` with `rhs_dilation` — the dilation is free on
+the MXU (same FLOPs as the dense 3×3), so the multi-rate pyramid costs
+exactly len(rates) dense convs. smp's default rates (12, 24, 36) assume
+output-stride-8 torchvision backbones; the shared encoder here is
+output-stride 16 with small feature maps, so the defaults are halved
+(6, 12, 18), matching the DeepLab paper's OS-16 recipe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from visiontransformer_tpu.models.unet import (
+    ENCODER_PRESETS,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    _group_norm,
+    _group_norm_init,
+    encoder_apply,
+    encoder_init,
+)
+from visiontransformer_tpu.nn.layers import conv2d, conv2d_init
+from visiontransformer_tpu.ops.resize import resize_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepLabV3Config:
+    encoder_name: str = "resnet34"
+    in_channels: int = 3
+    num_classes: int = 17
+    atrous_rates: Tuple[int, ...] = (6, 12, 18)
+    aspp_channels: int = 256
+    groups: int = 8  # GroupNorm groups
+    compute_dtype: str = "float32"
+    normalize: bool = True  # smp-style input normalization in forward
+
+    @property
+    def stage_channels(self) -> Sequence[int]:
+        return ENCODER_PRESETS[self.encoder_name][0]
+
+    @property
+    def stage_blocks(self) -> Sequence[int]:
+        return ENCODER_PRESETS[self.encoder_name][1]
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def _branch_init(key, cin: int, cout: int, kernel: int):
+    return {"conv": conv2d_init(key, cin, cout, kernel),
+            "gn": _group_norm_init(cout)}
+
+
+def deeplabv3_init(key: jax.Array, cfg: DeepLabV3Config) -> dict:
+    keys = iter(jax.random.split(key, 256))
+    params = encoder_init(keys, cfg)
+
+    cin = cfg.stage_channels[-1]
+    c = cfg.aspp_channels
+    params["aspp"] = {
+        "conv1x1": _branch_init(next(keys), cin, c, 1),
+        "atrous": [_branch_init(next(keys), cin, c, 3)
+                   for _ in cfg.atrous_rates],
+        "image_pool": _branch_init(next(keys), cin, c, 1),
+        "project": _branch_init(next(keys),
+                                c * (2 + len(cfg.atrous_rates)), c, 1),
+    }
+    params["head"] = conv2d_init(next(keys), c, cfg.num_classes, 1)
+    params["norm_mean"] = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    params["norm_std"] = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return params
+
+
+def _branch_apply(branch, x, groups: int, dilation: int = 1):
+    y = conv2d(branch["conv"], x, dilation=dilation)
+    return jax.nn.relu(_group_norm(branch["gn"], y, groups))
+
+
+def deeplabv3_apply(params: dict, images: jnp.ndarray, cfg: DeepLabV3Config,
+                    *, deterministic: bool = True,
+                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, num_classes) logits at input resolution."""
+    del deterministic, rng  # no dropout in this family
+    x = images.astype(cfg.dtype)
+    if cfg.normalize:
+        x = (x - params["norm_mean"].astype(x.dtype)) / \
+            params["norm_std"].astype(x.dtype)
+
+    x, _ = encoder_apply(params, x, cfg.groups)  # deepest features only
+
+    aspp = params["aspp"]
+    branches = [_branch_apply(aspp["conv1x1"], x, cfg.groups)]
+    for branch, rate in zip(aspp["atrous"], cfg.atrous_rates):
+        branches.append(_branch_apply(branch, x, cfg.groups, dilation=rate))
+    # Image-level branch: global average pool -> 1x1 conv -> broadcast.
+    pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+    pooled = _branch_apply(aspp["image_pool"], pooled, cfg.groups)
+    branches.append(jnp.broadcast_to(
+        pooled, pooled.shape[:1] + x.shape[1:3] + pooled.shape[3:]))
+
+    x = jnp.concatenate(branches, axis=-1)
+    x = _branch_apply(aspp["project"], x, cfg.groups)
+    logits = conv2d(params["head"], x).astype(jnp.float32)
+    if logits.shape[1] != images.shape[1]:
+        logits = resize_bilinear(logits, (images.shape[1], images.shape[2]),
+                                 h_axis=1, w_axis=2)
+    return logits

@@ -1,6 +1,6 @@
 """Model family registry: name -> (init, apply, config type).
 
-Five families, matching the reference's capability surface:
+Six families, matching the reference's capability surface:
 - "vitseg"  — ViT backbone + conv head (the primary network,
   reference model/CE/classes.py:221-262);
 - "unet"    — encoder-decoder conv net (the smp alternate,
@@ -10,6 +10,8 @@ Five families, matching the reference's capability surface:
 - "linknet" — additive-skip decoder on the same encoder (another smp arch
   behind the same surface);
 - "pspnet"  — pyramid-pooling decoder on the same encoder (another smp
+  arch behind the same surface);
+- "deeplabv3" — ASPP atrous decoder on the same encoder (another smp
   arch behind the same surface).
 """
 
@@ -18,6 +20,11 @@ from __future__ import annotations
 from typing import Callable, NamedTuple
 
 from visiontransformer_tpu.configs import ViTSegConfig, sweep_by_name
+from visiontransformer_tpu.models.deeplab import (
+    DeepLabV3Config,
+    deeplabv3_apply,
+    deeplabv3_init,
+)
 from visiontransformer_tpu.models.fpn import FPNConfig, fpn_apply, fpn_init
 from visiontransformer_tpu.models.linknet import (
     LinkNetConfig,
@@ -45,6 +52,7 @@ MODEL_FAMILIES = {
     "fpn": ModelFamily(fpn_init, fpn_apply, FPNConfig),
     "linknet": ModelFamily(linknet_init, linknet_apply, LinkNetConfig),
     "pspnet": ModelFamily(pspnet_init, pspnet_apply, PSPNetConfig),
+    "deeplabv3": ModelFamily(deeplabv3_init, deeplabv3_apply, DeepLabV3Config),
 }
 
 

@@ -76,8 +76,11 @@ def conv2d_init(key, in_channels: int, out_channels: int, kernel_size: int,
             "bias": jnp.zeros((out_channels,), jnp.float32)}
 
 
-def conv2d(params, x, *, stride: int = 1, padding="SAME", dtype=None):
-    """NHWC conv. XLA maps this straight onto the MXU for large channel counts."""
+def conv2d(params, x, *, stride: int = 1, padding="SAME", dilation: int = 1,
+           dtype=None):
+    """NHWC conv. XLA maps this straight onto the MXU for large channel
+    counts. ``dilation`` is atrous kernel dilation (rhs_dilation); with
+    SAME padding the output keeps the input's spatial size."""
     if dtype is not None:
         x = x.astype(dtype)
     kernel = params["kernel"].astype(x.dtype)
@@ -85,6 +88,7 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME", dtype=None):
         x, kernel,
         window_strides=(stride, stride),
         padding=padding,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
     )
