@@ -71,6 +71,27 @@ def test_deeplab_image_level_branch_sees_whole_image(rng):
     assert np.abs(out[0, -4:, -4:] - base[0, -4:, -4:]).max() > 1e-6
 
 
+def test_deeplab_atrous_rates_rescale_and_branches_alive(rng):
+    """Rates are declared on the paper's 33×33 canvas and rescaled to the
+    actual feature map; at 224² (14×14 features) every atrous branch's
+    OFF-CENTER taps must touch real pixels (nonzero gradient) — with
+    fixed rates (6,12,18) the rate-18 branch would be a dead center-tap
+    conv (all ±18 taps in SAME padding)."""
+    cfg = DeepLabV3Config(encoder_name="small", num_classes=3,
+                          normalize=False)
+    params = deeplabv3_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.random((1, 224, 224, 3)), jnp.float32)
+
+    def loss(p):
+        return jnp.sum(deeplabv3_apply(p, x, cfg) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for i in range(len(cfg.atrous_rates)):
+        k = np.asarray(grads["aspp"]["atrous"][i]["conv"]["kernel"])
+        off_center = np.abs(k).sum() - np.abs(k[1, 1]).sum()
+        assert off_center > 0, f"atrous branch {i} off-center taps dead"
+
+
 def test_deeplab_gradients_flow(rng):
     cfg = DeepLabV3Config(encoder_name="small", num_classes=3,
                           normalize=False)
@@ -110,38 +131,3 @@ def test_deeplab_trains_via_trainer(rng):
                                             jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert min(losses[-3:]) < losses[0]
-
-
-def test_deeplab_family_model_serves_jobs(tmp_path):
-    """A registered deeplabv3 row serves a job end-to-end through the
-    dynamic-batching worker (family-generic ModelRunner path)."""
-    import time
-
-    from PIL import Image
-
-    from visiontransformer_tpu.serve.store import JobStore
-    from visiontransformer_tpu.serve.worker import InferenceWorker
-
-    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
-    mid = store.register_model("damage-deeplab", num_classes=5,
-                               config_name="small", input_size=32,
-                               model_family="deeplabv3")
-
-    img = tmp_path / "in.png"
-    Image.fromarray(np.full((32, 32, 3), 120, np.uint8)).save(img)
-    worker = InferenceWorker(store, compute_dtype="float32",
-                             poll_interval=0.005, linger=0.0)
-    try:
-        job = store.create_job(None, mid, str(img))
-        worker.start()
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            detail = store.get_job(job["id"])
-            if detail["status"] in ("DONE", "FAILED"):
-                break
-            time.sleep(0.1)
-        assert detail["status"] == "DONE", detail
-        mask = np.asarray(Image.open(detail["mask_image"]))
-        assert mask.shape[:2] == (32, 32)
-    finally:
-        worker.stop()

@@ -99,38 +99,3 @@ def test_pspnet_trains_via_trainer(rng):
                                             jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert min(losses[-3:]) < losses[0]
-
-
-def test_pspnet_family_model_serves_jobs(tmp_path):
-    """A registered pspnet row serves a job end-to-end through the
-    dynamic-batching worker (family-generic ModelRunner path)."""
-    import time
-
-    from PIL import Image
-
-    from visiontransformer_tpu.serve.store import JobStore
-    from visiontransformer_tpu.serve.worker import InferenceWorker
-
-    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
-    mid = store.register_model("damage-pspnet", num_classes=5,
-                               config_name="small", input_size=32,
-                               model_family="pspnet")
-
-    img = tmp_path / "in.png"
-    Image.fromarray(np.full((32, 32, 3), 120, np.uint8)).save(img)
-    worker = InferenceWorker(store, compute_dtype="float32",
-                             poll_interval=0.005, linger=0.0)
-    try:
-        job = store.create_job(None, mid, str(img))
-        worker.start()
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            detail = store.get_job(job["id"])
-            if detail["status"] in ("DONE", "FAILED"):
-                break
-            time.sleep(0.1)
-        assert detail["status"] == "DONE", detail
-        mask = np.asarray(Image.open(detail["mask_image"]))
-        assert mask.shape[:2] == (32, 32)
-    finally:
-        worker.stop()

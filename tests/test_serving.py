@@ -491,17 +491,20 @@ def test_worker_mesh_sharded_inference_matches_single_device(tmp_path):
         registry_mod.sweep_by_name = orig
 
 
-def test_unet_family_model_serves_jobs(tmp_path):
-    """A model registered with model_family='unet' (config_name carries the
-    encoder preset) serves jobs through the worker end to end — the serving
-    face of the generic StructuralDamageModel(arch, encoder) surface
-    (reference model/CE/classes.py:106-110)."""
+@pytest.mark.parametrize("family", ["unet", "fpn", "linknet", "pspnet",
+                                    "deeplabv3"])
+def test_conv_family_model_serves_jobs(tmp_path, family):
+    """A model registered with any conv model_family (config_name carries
+    the encoder preset) serves jobs through the worker end to end — the
+    serving face of the generic StructuralDamageModel(arch, encoder)
+    surface (reference model/CE/classes.py:106-110), one body for all
+    families (family-generic ModelRunner path)."""
     store = JobStore(":memory:", media_root=str(tmp_path / "media"))
-    mid = store.register_model("damage-unet", num_classes=4,
+    mid = store.register_model(f"damage-{family}", num_classes=4,
                                config_name="small", input_size=32,
-                               model_family="unet")
+                               model_family=family)
     row = store.get_model(mid)
-    assert row["model_family"] == "unet"
+    assert row["model_family"] == family
 
     img = tmp_path / "in.png"
     Image.fromarray(np.full((32, 32, 3), 120, np.uint8)).save(img)

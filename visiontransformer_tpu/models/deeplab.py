@@ -16,10 +16,16 @@ dilation rates, and a global-average-pool + 1×1 conv image-level branch
 before the class head. Atrous convolution is a single
 `lax.conv_general_dilated` with `rhs_dilation` — the dilation is free on
 the MXU (same FLOPs as the dense 3×3), so the multi-rate pyramid costs
-exactly len(rates) dense convs. smp's default rates (12, 24, 36) assume
-output-stride-8 torchvision backbones; the shared encoder here is
-output-stride 16 with small feature maps, so the defaults are halved
-(6, 12, 18), matching the DeepLab paper's OS-16 recipe.
+exactly len(rates) dense convs.
+
+Rate scaling: the DeepLab paper's OS-16 rates (6, 12, 18) are calibrated
+for ~513² crops (33×33 feature maps); at this repo's standard 224² the
+map is 14×14 and a fixed rate-18 tap falls entirely in SAME padding
+(a dead branch). `atrous_rates` are therefore declared on the paper's
+33×33 canvas and rescaled to the actual feature-map size at apply time —
+shapes are static under jit, so each input size compiles with its own
+exact integer rates and the pyramid keeps the paper's coverage geometry
+at every resolution.
 """
 
 from __future__ import annotations
@@ -48,7 +54,8 @@ class DeepLabV3Config:
     encoder_name: str = "resnet34"
     in_channels: int = 3
     num_classes: int = 17
-    atrous_rates: Tuple[int, ...] = (6, 12, 18)
+    atrous_rates: Tuple[int, ...] = (6, 12, 18)  # on the 33×33 canvas
+    rate_canvas: int = 33  # feature size the rates are declared for
     aspp_channels: int = 256
     groups: int = 8  # GroupNorm groups
     compute_dtype: str = "float32"
@@ -111,7 +118,15 @@ def deeplabv3_apply(params: dict, images: jnp.ndarray, cfg: DeepLabV3Config,
 
     aspp = params["aspp"]
     branches = [_branch_apply(aspp["conv1x1"], x, cfg.groups)]
-    for branch, rate in zip(aspp["atrous"], cfg.atrous_rates):
+    # Rescale the canonical rates to this feature-map size (static under
+    # jit); distinct-ify so two branches never collapse onto one rate.
+    scale = min(x.shape[1], x.shape[2]) / cfg.rate_canvas
+    rates, seen = [], 0
+    for rate in cfg.atrous_rates:
+        r = max(int(round(rate * scale)), seen + 1)
+        rates.append(r)
+        seen = r
+    for branch, rate in zip(aspp["atrous"], rates):
         branches.append(_branch_apply(branch, x, cfg.groups, dilation=rate))
     # Image-level branch: global average pool -> 1x1 conv -> broadcast.
     pooled = jnp.mean(x, axis=(1, 2), keepdims=True)

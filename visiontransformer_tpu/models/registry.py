@@ -71,7 +71,7 @@ def resolve_model(family: str, config_name: str, *, num_classes: int,
     behind the serving worker (serve/worker.py ModelRunner) and the
     ``export-hlo`` CLI. ``config_name`` is a sweep config for vitseg
     (e.g. "P16H768A12") and an encoder preset for the conv
-    families (unet/fpn/linknet).
+    families (unet/fpn/linknet/pspnet/deeplabv3).
     checkpoint_path: Orbax directory, reference Lightning ``.ckpt``
     (vitseg only), or empty for random init (smoke tests)."""
     import os
