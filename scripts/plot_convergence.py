@@ -97,10 +97,13 @@ def main():
         fig.patch.set_facecolor(SURFACE)
         if len(panels) == 1:
             axes = [axes]
-        nice = {"paed_binary": "PAED binary",
-                "paed_multiclass": "PAED multiclass",
-                "smp_unet": "UNet (smp family)"}.get(
-                    task.split("_lr")[0], "CE multiclass")
+        base_task = task.split("_lr")[0]
+        if base_task.startswith("smp_"):
+            nice = f"{base_task[4:].capitalize()} (smp family)"
+        else:
+            nice = {"paed_binary": "PAED binary",
+                    "paed_multiclass": "PAED multiclass"}.get(
+                        base_task, "CE multiclass")
         if task.startswith("paed_binary"):
             nice = "PAED binary"
         config = "P16H512A8"

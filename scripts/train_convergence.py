@@ -12,7 +12,9 @@ Usage:
   python scripts/train_convergence.py paed_binary
   python scripts/train_convergence.py paed_multiclass
   python scripts/train_convergence.py smp_unet     # UNet family, smp task
-  python scripts/train_convergence.py smp_fpn      # FPN family, smp task
+  python scripts/train_convergence.py smp_<family> # any conv family
+                                                   # (fpn/linknet/pspnet/
+                                                   #  deeplabv3)
 """
 
 import dataclasses
@@ -74,19 +76,19 @@ def main(task: str):
 
     model = "vitseg"
     trainer_task = task
-    if task in ("smp_unet", "smp_fpn"):
+    if task.startswith("smp_"):
         # The reference's alternate architectures (StructuralDamageModel,
-        # smp.create_model(arch, ...)) with the CE + smp-metrics contract.
-        from visiontransformer_tpu.models.fpn import FPNConfig
-        from visiontransformer_tpu.models.unet import UNetConfig
+        # smp.create_model(arch, ...)) with the CE + smp-metrics contract;
+        # any conv family in the registry (unet/fpn/linknet/pspnet/
+        # deeplabv3) runs through the same path.
+        from visiontransformer_tpu.models.registry import get_model_family
 
-        model = "unet" if task == "smp_unet" else "fpn"
+        model = task[len("smp_"):]
         trainer_task = "smp_multiclass"
         entry_name = "resnet18"
-        cfg_cls = UNetConfig if model == "unet" else FPNConfig
-        seg_cfg = cfg_cls(encoder_name="resnet18",
-                          num_classes=probe.num_classes,
-                          compute_dtype="bfloat16")
+        seg_cfg = get_model_family(model).config_cls(
+            encoder_name="resnet18", num_classes=probe.num_classes,
+            compute_dtype="bfloat16")
         entry = None
     else:
         entry = sweep_by_name(os.environ.get(
