@@ -526,6 +526,44 @@ def test_conv_family_model_serves_jobs(tmp_path, family):
         worker.stop()
 
 
+def test_token_merge_opt_in_serves_jobs(tmp_path):
+    """A vitseg row registered with token_merge_r builds its runner with
+    merging enabled (ops/token_merge.py; the serving face of the opt-in,
+    docs/PERFORMANCE.md trained-model quality table) and still serves a
+    job end to end; non-vitseg rows reject the flag."""
+    from visiontransformer_tpu.serve.worker import InferenceWorker, ModelRunner
+
+    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
+    with pytest.raises(ValueError):
+        store.register_model("bad", num_classes=4, config_name="small",
+                             model_family="unet", token_merge_r=8)
+
+    mid = store.register_model("vit-tome", num_classes=4,
+                               config_name="P16H512A8", input_size=32,
+                               token_merge_r=2)
+    row = store.get_model(mid)
+    assert row["token_merge_r"] == 2
+    runner = ModelRunner(row, compute_dtype="float32", buckets=(1,))
+    assert runner.cfg.vit.token_merge_r == 2
+
+    img = tmp_path / "in.png"
+    Image.fromarray(np.full((32, 32, 3), 120, np.uint8)).save(img)
+    worker = InferenceWorker(store, compute_dtype="float32",
+                             poll_interval=0.005, linger=0.0)
+    try:
+        job = store.create_job(None, mid, str(img))
+        worker.start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            detail = store.get_job(job["id"])
+            if detail["status"] in ("DONE", "FAILED"):
+                break
+            time.sleep(0.1)
+        assert detail["status"] == "DONE", detail
+    finally:
+        worker.stop()
+
+
 def test_model_family_migration_and_runner_validation(tmp_path):
     """Old DBs gain the model_family column on open; .ckpt checkpoints are
     rejected for non-vitseg families with a clear error."""

@@ -193,6 +193,10 @@ def _build_parser():
                    choices=["vitseg", "unet", "fpn", "linknet", "pspnet", "deeplabv3"],
                    help="model family; --config is a sweep config for "
                         "vitseg, an encoder preset for the conv families")
+    r.add_argument("--token-merge-r", type=int, default=0,
+                   help="opt-in ToMe acceleration for vitseg rows: tokens "
+                        "merged per layer (~1.2x at r=16, near-lossless on "
+                        "trained models; docs/PERFORMANCE.md)")
 
     g = sub.add_parser("synth", help="generate a synthetic dataset")
     g.add_argument("--kind", choices=["multiclass", "binary"],
@@ -512,10 +516,15 @@ def cmd_register_model(args) -> int:
               file=sys.stderr)
         return 1
     store = JobStore(args.db, media_root=args.media_root)
+    if args.token_merge_r and args.family != "vitseg":
+        print("error: --token-merge-r applies to vitseg models only",
+              file=sys.stderr)
+        return 1
     model_id = store.register_model(
         args.name, num_classes=args.num_classes, config_name=args.config,
         description=args.description, input_size=args.input_size,
-        checkpoint_path=args.ckpt, model_family=args.family)
+        checkpoint_path=args.ckpt, model_family=args.family,
+        token_merge_r=args.token_merge_r)
     print(f"registered model id={model_id} name={args.name} "
           f"family={args.family} config={args.config} "
           f"ckpt={args.ckpt or '<random init>'}")

@@ -52,7 +52,8 @@ CREATE TABLE IF NOT EXISTS vision_models (
     input_size INTEGER NOT NULL DEFAULT 224,
     config_name TEXT NOT NULL,
     model_family TEXT NOT NULL DEFAULT 'vitseg',
-    checkpoint_path TEXT DEFAULT ''
+    checkpoint_path TEXT DEFAULT '',
+    token_merge_r INTEGER NOT NULL DEFAULT 0
 );
 CREATE TABLE IF NOT EXISTS jobs (
     id TEXT PRIMARY KEY,
@@ -122,6 +123,9 @@ class JobStore:
             if "model_family" not in cols:
                 c.execute("ALTER TABLE vision_models ADD COLUMN"
                           " model_family TEXT NOT NULL DEFAULT 'vitseg'")
+            if "token_merge_r" not in cols:
+                c.execute("ALTER TABLE vision_models ADD COLUMN"
+                          " token_merge_r INTEGER NOT NULL DEFAULT 0")
 
     def _notify_terminal(self) -> None:
         with self._terminal_cv:
@@ -218,21 +222,28 @@ class JobStore:
                        config_name: str, description: str = "",
                        input_size: int = 224,
                        checkpoint_path: str = "",
-                       model_family: str = "vitseg") -> int:
-        """model_family: "vitseg" (config_name is a sweep config) or
-        "unet"/"fpn" (config_name is an encoder preset) — the serving-side
-        face of the model registry (models/registry.py)."""
+                       model_family: str = "vitseg",
+                       token_merge_r: int = 0) -> int:
+        """model_family: "vitseg" (config_name is a sweep config) or a
+        conv family (config_name is an encoder preset) — the serving-side
+        face of the model registry (models/registry.py). token_merge_r:
+        opt-in ToMe acceleration for vitseg rows (ops/token_merge.py;
+        measured near-lossless on trained models, docs/PERFORMANCE.md)."""
+        if token_merge_r and model_family != "vitseg":
+            raise ValueError("token_merge_r applies to vitseg models only")
         with self._conn() as c:
             cur = c.execute(
                 "INSERT OR REPLACE INTO vision_models"
                 " (name, description, num_classes, input_size, config_name,"
-                "  model_family, checkpoint_path) VALUES (?,?,?,?,?,?,?)",
+                "  model_family, checkpoint_path, token_merge_r)"
+                " VALUES (?,?,?,?,?,?,?,?)",
                 (name, description, num_classes, input_size, config_name,
-                 model_family, checkpoint_path))
+                 model_family, checkpoint_path, token_merge_r))
             return cur.lastrowid
 
     _MODEL_COLS = ("id, name, description, num_classes, input_size,"
-                   " config_name, model_family, checkpoint_path")
+                   " config_name, model_family, checkpoint_path,"
+                   " token_merge_r")
 
     def list_models(self) -> List[Dict]:
         with self._conn() as c:
@@ -253,7 +264,7 @@ class JobStore:
         return {"id": row[0], "name": row[1], "description": row[2],
                 "num_classes": row[3], "input_size": row[4],
                 "config_name": row[5], "model_family": row[6],
-                "checkpoint_path": row[7]}
+                "checkpoint_path": row[7], "token_merge_r": row[8]}
 
     # --------------------------------------------------------------- jobs
     def create_job(self, user_id: Optional[int], vision_model_id: int,

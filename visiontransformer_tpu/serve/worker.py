@@ -70,6 +70,15 @@ class ModelRunner:
             num_classes=model_row["num_classes"],
             input_size=self.input_size, compute_dtype=compute_dtype,
             checkpoint_path=model_row.get("checkpoint_path") or "")
+        merge_r = int(model_row.get("token_merge_r") or 0)
+        if merge_r:
+            # Per-model ToMe opt-in (vitseg only — store validates):
+            # near-lossless on trained models, ~1.2x (docs/PERFORMANCE.md).
+            import dataclasses
+
+            self.cfg = dataclasses.replace(
+                self.cfg, vit=dataclasses.replace(self.cfg.vit,
+                                                  token_merge_r=merge_r))
         self.color_table = class_color_table(None, self.cfg.num_classes)
 
         self.mesh = None
