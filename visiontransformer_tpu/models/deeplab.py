@@ -3,8 +3,9 @@
 Fifth alternate architecture behind the reference's generic
 `StructuralDamageModel(arch, encoder_name, ...)` wrapper — its
 `smp.create_model(arch, ...)` accepts any smp architecture string
-(reference model/CE/classes.py:106-110), of which this package implements
-"unet", "fpn", "linknet", "pspnet" and "deeplabv3" (this module) natively.
+(reference model/CE/classes.py:106-110); "deeplabv3" (this module) is one
+of the five archs this package implements natively (see
+models/registry.py for the full set).
 
 TPU-native design, same conventions as the other conv families: the
 shared residual GroupNorm encoder (models/unet.py:encoder_init/
