@@ -25,7 +25,8 @@ from visiontransformer_tpu.models.registry import MODEL_FAMILIES
 BATCH = 16
 ITERS = 10
 ROUNDS = 3
-FAMILIES = ("unet", "fpn", "linknet", "pspnet", "deeplabv3")
+FAMILIES = ("unet", "unetplusplus", "manet", "linknet", "fpn", "pan",
+            "pspnet", "deeplabv3", "deeplabv3plus")
 
 
 def main():

@@ -23,6 +23,14 @@ import os
 import sys
 
 
+# Static mirror of models.registry.MODEL_FAMILIES (this module must parse
+# args without importing jax); tests/test_registry.py pins them equal.
+MODEL_FAMILY_CHOICES = [
+    "deeplabv3", "deeplabv3plus", "fpn", "linknet", "manet", "pan",
+    "pspnet", "unet", "unetplusplus", "vitseg",
+]
+
+
 def _add_data_args(p):
     p.add_argument("--data", required=True,
                    help="dataset root containing image_png/ and mask_png/")
@@ -43,7 +51,7 @@ def _build_parser():
                    choices=["ce", "smp_multiclass", "paed_multiclass",
                             "paed_binary"])
     t.add_argument("--model", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet", "deeplabv3"])
+                   choices=MODEL_FAMILY_CHOICES)
     t.add_argument("--config", default="P16H1024A16",
                    help="sweep config name (vitseg) e.g. P16H512A8")
     t.add_argument("--encoder", default="resnet34",
@@ -165,7 +173,7 @@ def _build_parser():
                    help="sweep config name (vitseg) or encoder preset "
                         "(conv families)")
     x.add_argument("--family", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet", "deeplabv3"])
+                   choices=MODEL_FAMILY_CHOICES)
     x.add_argument("--num-classes", type=int, default=17)
     x.add_argument("--input-size", type=int, default=224)
     x.add_argument("--batch", type=int, default=8)
@@ -190,7 +198,7 @@ def _build_parser():
                         "(empty: random init, useful for smoke tests)")
     r.add_argument("--description", default="")
     r.add_argument("--family", default="vitseg",
-                   choices=["vitseg", "unet", "fpn", "linknet", "pspnet", "deeplabv3"],
+                   choices=MODEL_FAMILY_CHOICES,
                    help="model family; --config is a sweep config for "
                         "vitseg, an encoder preset for the conv families")
     r.add_argument("--token-merge-r", type=int, default=0,

@@ -1,11 +1,20 @@
-"""DeepLabV3 segmentation family (atrous spatial pyramid pooling).
+"""DeepLabV3 and DeepLabV3+ segmentation families (atrous spatial
+pyramid pooling, and its low-level-skip decoder variant).
 
-Fifth alternate architecture behind the reference's generic
+Alternate architectures behind the reference's generic
 `StructuralDamageModel(arch, encoder_name, ...)` wrapper — its
 `smp.create_model(arch, ...)` accepts any smp architecture string
-(reference model/CE/classes.py:106-110); "deeplabv3" (this module) is one
-of the five archs this package implements natively (see
+(reference model/CE/classes.py:106-110); "deeplabv3" and "deeplabv3plus"
+(this module) are two of the archs this package implements natively (see
 models/registry.py for the full set).
+
+DeepLabV3+ adds the encoder-decoder refinement on top of the same ASPP:
+the ASPP output is upsampled to the OS-4 (quarter-resolution) encoder
+stage, concatenated with a 1×1-projected low-level feature (48 channels,
+the paper's choice — wide enough to carry boundaries, narrow enough not
+to drown the ASPP semantics), fused by two 3×3 convs, then classified and
+upsampled to input resolution — recovering the object boundaries the
+stride-16 pyramid blurs.
 
 TPU-native design, same conventions as the other conv families: the
 shared residual GroupNorm encoder (models/unet.py:encoder_init/
@@ -80,13 +89,9 @@ def _branch_init(key, cin: int, cout: int, kernel: int):
             "gn": _group_norm_init(cout)}
 
 
-def deeplabv3_init(key: jax.Array, cfg: DeepLabV3Config) -> dict:
-    keys = iter(jax.random.split(key, 256))
-    params = encoder_init(keys, cfg)
-
-    cin = cfg.stage_channels[-1]
+def _aspp_init(keys, cin: int, cfg) -> dict:
     c = cfg.aspp_channels
-    params["aspp"] = {
+    return {
         "conv1x1": _branch_init(next(keys), cin, c, 1),
         "atrous": [_branch_init(next(keys), cin, c, 3)
                    for _ in cfg.atrous_rates],
@@ -94,7 +99,14 @@ def deeplabv3_init(key: jax.Array, cfg: DeepLabV3Config) -> dict:
         "project": _branch_init(next(keys),
                                 c * (2 + len(cfg.atrous_rates)), c, 1),
     }
-    params["head"] = conv2d_init(next(keys), c, cfg.num_classes, 1)
+
+
+def deeplabv3_init(key: jax.Array, cfg: DeepLabV3Config) -> dict:
+    keys = iter(jax.random.split(key, 256))
+    params = encoder_init(keys, cfg)
+    params["aspp"] = _aspp_init(keys, cfg.stage_channels[-1], cfg)
+    params["head"] = conv2d_init(next(keys), cfg.aspp_channels,
+                                 cfg.num_classes, 1)
     params["norm_mean"] = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     params["norm_std"] = jnp.asarray(IMAGENET_STD, jnp.float32)
     return params
@@ -105,19 +117,7 @@ def _branch_apply(branch, x, groups: int, dilation: int = 1):
     return jax.nn.relu(_group_norm(branch["gn"], y, groups))
 
 
-def deeplabv3_apply(params: dict, images: jnp.ndarray, cfg: DeepLabV3Config,
-                    *, deterministic: bool = True,
-                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H, W, num_classes) logits at input resolution."""
-    del deterministic, rng  # no dropout in this family
-    x = images.astype(cfg.dtype)
-    if cfg.normalize:
-        x = (x - params["norm_mean"].astype(x.dtype)) / \
-            params["norm_std"].astype(x.dtype)
-
-    x, _ = encoder_apply(params, x, cfg.groups)  # deepest features only
-
-    aspp = params["aspp"]
+def _aspp_apply(aspp: dict, x: jnp.ndarray, cfg) -> jnp.ndarray:
     branches = [_branch_apply(aspp["conv1x1"], x, cfg.groups)]
     # Rescale the canonical rates to this feature-map size (static under
     # jit); distinct-ify so two branches never collapse onto one rate.
@@ -136,7 +136,98 @@ def deeplabv3_apply(params: dict, images: jnp.ndarray, cfg: DeepLabV3Config,
         pooled, pooled.shape[:1] + x.shape[1:3] + pooled.shape[3:]))
 
     x = jnp.concatenate(branches, axis=-1)
-    x = _branch_apply(aspp["project"], x, cfg.groups)
+    return _branch_apply(aspp["project"], x, cfg.groups)
+
+
+def deeplabv3_apply(params: dict, images: jnp.ndarray, cfg: DeepLabV3Config,
+                    *, deterministic: bool = True,
+                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, num_classes) logits at input resolution."""
+    del deterministic, rng  # no dropout in this family
+    x = images.astype(cfg.dtype)
+    if cfg.normalize:
+        x = (x - params["norm_mean"].astype(x.dtype)) / \
+            params["norm_std"].astype(x.dtype)
+
+    x, _ = encoder_apply(params, x, cfg.groups)  # deepest features only
+
+    x = _aspp_apply(params["aspp"], x, cfg)
+    logits = conv2d(params["head"], x).astype(jnp.float32)
+    if logits.shape[1] != images.shape[1]:
+        logits = resize_bilinear(logits, (images.shape[1], images.shape[2]),
+                                 h_axis=1, w_axis=2)
+    return logits
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepLabV3PlusConfig:
+    encoder_name: str = "resnet34"
+    in_channels: int = 3
+    num_classes: int = 17
+    atrous_rates: Tuple[int, ...] = (6, 12, 18)  # on the 33×33 canvas
+    rate_canvas: int = 33  # feature size the rates are declared for
+    aspp_channels: int = 256
+    low_level_channels: int = 48  # 1×1 projection width for the OS-4 skip
+    decoder_channels: int = 256
+    groups: int = 8  # GroupNorm groups
+    compute_dtype: str = "float32"
+    normalize: bool = True  # smp-style input normalization in forward
+
+    @property
+    def stage_channels(self) -> Sequence[int]:
+        return ENCODER_PRESETS[self.encoder_name][0]
+
+    @property
+    def stage_blocks(self) -> Sequence[int]:
+        return ENCODER_PRESETS[self.encoder_name][1]
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def deeplabv3plus_init(key: jax.Array, cfg: DeepLabV3PlusConfig) -> dict:
+    keys = iter(jax.random.split(key, 256))
+    params = encoder_init(keys, cfg)
+    params["aspp"] = _aspp_init(keys, cfg.stage_channels[-1], cfg)
+    # Low-level skip: encoder_apply's skips[2] is the OS-4 feature map
+    # (input to the third stage), channel width stage_channels[2].
+    params["low_proj"] = _branch_init(
+        next(keys), cfg.stage_channels[2], cfg.low_level_channels, 1)
+    c = cfg.decoder_channels
+    params["decoder"] = [
+        _branch_init(next(keys), cfg.aspp_channels + cfg.low_level_channels,
+                     c, 3),
+        _branch_init(next(keys), c, c, 3),
+    ]
+    params["head"] = conv2d_init(next(keys), c, cfg.num_classes, 1)
+    params["norm_mean"] = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    params["norm_std"] = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return params
+
+
+def deeplabv3plus_apply(params: dict, images: jnp.ndarray,
+                        cfg: DeepLabV3PlusConfig, *,
+                        deterministic: bool = True,
+                        rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, num_classes) logits at input resolution."""
+    del deterministic, rng  # no dropout in this family
+    x = images.astype(cfg.dtype)
+    if cfg.normalize:
+        x = (x - params["norm_mean"].astype(x.dtype)) / \
+            params["norm_std"].astype(x.dtype)
+
+    x, skips = encoder_apply(params, x, cfg.groups)
+
+    x = _aspp_apply(params["aspp"], x, cfg)
+    # Decoder: upsample the stride-16 ASPP output to the OS-4 skip, fuse
+    # with the projected low-level features, refine with two 3×3 convs.
+    low = _branch_apply(params["low_proj"], skips[2], cfg.groups)
+    x = resize_bilinear(x, (low.shape[1], low.shape[2]), h_axis=1, w_axis=2)
+    x = jnp.concatenate([x, low.astype(x.dtype)], axis=-1)
+    for block in params["decoder"]:
+        x = _branch_apply(block, x, cfg.groups)
+
     logits = conv2d(params["head"], x).astype(jnp.float32)
     if logits.shape[1] != images.shape[1]:
         logits = resize_bilinear(logits, (images.shape[1], images.shape[2]),

@@ -1,19 +1,15 @@
 """Model family registry: name -> (init, apply, config type).
 
-Six families, matching the reference's capability surface:
-- "vitseg"  — ViT backbone + conv head (the primary network,
-  reference model/CE/classes.py:221-262);
-- "unet"    — encoder-decoder conv net (the smp alternate,
-  reference model/CE/classes.py:105-219);
-- "fpn"     — feature-pyramid decoder on the same encoder (the reference's
-  smp.create_model accepts any smp arch string, classes.py:110);
-- "linknet" — additive-skip decoder on the same encoder (another smp arch
-  behind the same surface);
-- "pspnet"  — pyramid-pooling decoder on the same encoder (another smp
-  arch behind the same surface);
-- "deeplabv3" — ASPP atrous decoder on the same encoder (another smp
-  arch behind the same surface).
-"""
+The families match the reference's capability surface: "vitseg" is the
+primary network (ViT backbone + conv head, reference
+model/CE/classes.py:221-262); every other entry is a natively implemented
+smp architecture behind the reference's generic
+`StructuralDamageModel(arch, encoder_name, ...)` wrapper — its
+`smp.create_model` accepts any smp arch string (classes.py:106-110). The
+conv families share one residual GroupNorm encoder (models/unet.py) and
+differ in decoder topology; see each module's docstring. MODEL_FAMILIES
+below is the single source of truth for what exists (the CLI, the serving
+registry, and the benchmarks all enumerate it)."""
 
 from __future__ import annotations
 
@@ -22,8 +18,11 @@ from typing import Callable, NamedTuple
 from visiontransformer_tpu.configs import ViTSegConfig, sweep_by_name
 from visiontransformer_tpu.models.deeplab import (
     DeepLabV3Config,
+    DeepLabV3PlusConfig,
     deeplabv3_apply,
     deeplabv3_init,
+    deeplabv3plus_apply,
+    deeplabv3plus_init,
 )
 from visiontransformer_tpu.models.fpn import FPNConfig, fpn_apply, fpn_init
 from visiontransformer_tpu.models.linknet import (
@@ -31,12 +30,23 @@ from visiontransformer_tpu.models.linknet import (
     linknet_apply,
     linknet_init,
 )
+from visiontransformer_tpu.models.manet import (
+    MAnetConfig,
+    manet_apply,
+    manet_init,
+)
+from visiontransformer_tpu.models.pan import PANConfig, pan_apply, pan_init
 from visiontransformer_tpu.models.pspnet import (
     PSPNetConfig,
     pspnet_apply,
     pspnet_init,
 )
 from visiontransformer_tpu.models.unet import UNetConfig, unet_apply, unet_init
+from visiontransformer_tpu.models.unetpp import (
+    UNetPlusPlusConfig,
+    unetplusplus_apply,
+    unetplusplus_init,
+)
 from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
 
 
@@ -53,6 +63,12 @@ MODEL_FAMILIES = {
     "linknet": ModelFamily(linknet_init, linknet_apply, LinkNetConfig),
     "pspnet": ModelFamily(pspnet_init, pspnet_apply, PSPNetConfig),
     "deeplabv3": ModelFamily(deeplabv3_init, deeplabv3_apply, DeepLabV3Config),
+    "deeplabv3plus": ModelFamily(deeplabv3plus_init, deeplabv3plus_apply,
+                                 DeepLabV3PlusConfig),
+    "unetplusplus": ModelFamily(unetplusplus_init, unetplusplus_apply,
+                                UNetPlusPlusConfig),
+    "pan": ModelFamily(pan_init, pan_apply, PANConfig),
+    "manet": ModelFamily(manet_init, manet_apply, MAnetConfig),
 }
 
 

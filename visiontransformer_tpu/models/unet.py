@@ -27,12 +27,14 @@ import jax.numpy as jnp
 from visiontransformer_tpu.nn.layers import conv2d, conv2d_init
 from visiontransformer_tpu.ops.resize import resize_bilinear
 
-# Encoder presets: (stage channels, normalization mean/std) — "imagenet"
-# matches smp's default preprocessing constants.
+# Encoder presets: (stage channels, blocks per stage, block kind). The
+# channel/depth layouts mirror the torchvision encoders smp wraps;
+# "bottleneck" stages use the 1×1→3×3→1×1 residual block (expansion 4).
 ENCODER_PRESETS = {
-    "resnet18": ((64, 64, 128, 256, 512), (2, 2, 2, 2)),
-    "resnet34": ((64, 64, 128, 256, 512), (3, 4, 6, 3)),
-    "small": ((32, 32, 64, 128, 256), (1, 1, 1, 1)),
+    "resnet18": ((64, 64, 128, 256, 512), (2, 2, 2, 2), "basic"),
+    "resnet34": ((64, 64, 128, 256, 512), (3, 4, 6, 3), "basic"),
+    "resnet50": ((64, 256, 512, 1024, 2048), (3, 4, 6, 3), "bottleneck"),
+    "small": ((32, 32, 64, 128, 256), (1, 1, 1, 1), "basic"),
 }
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -94,11 +96,38 @@ def _block_init(key, cin: int, cout: int):
     return params
 
 
+def _bottleneck_init(key, cin: int, cout: int):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mid = cout // 4
+    params = {
+        "conv1": conv2d_init(k1, cin, mid, 1),
+        "gn1": _group_norm_init(mid),
+        "conv2": conv2d_init(k2, mid, mid, 3),
+        "gn2": _group_norm_init(mid),
+        "conv3": conv2d_init(k3, mid, cout, 1),
+        "gn3": _group_norm_init(cout),
+    }
+    if cin != cout:
+        params["proj"] = conv2d_init(k4, cin, cout, 1)
+    return params
+
+
 def _block_apply(params, x, groups: int, stride: int = 1):
-    y = conv2d(params["conv1"], x, stride=stride)
-    y = jax.nn.relu(_group_norm(params["gn1"], y, groups))
-    y = conv2d(params["conv2"], y)
-    y = _group_norm(params["gn2"], y, groups)
+    """Residual block. Dispatches structurally on the param dict: the
+    bottleneck variant carries a third conv (1×1→3×3→1×1, stride on the
+    3×3 as in torchvision's ResNet v1.5); the basic variant is 3×3→3×3."""
+    if "conv3" in params:
+        y = conv2d(params["conv1"], x)
+        y = jax.nn.relu(_group_norm(params["gn1"], y, groups))
+        y = conv2d(params["conv2"], y, stride=stride)
+        y = jax.nn.relu(_group_norm(params["gn2"], y, groups))
+        y = conv2d(params["conv3"], y)
+        y = _group_norm(params["gn3"], y, groups)
+    else:
+        y = conv2d(params["conv1"], x, stride=stride)
+        y = jax.nn.relu(_group_norm(params["gn1"], y, groups))
+        y = conv2d(params["conv2"], y)
+        y = _group_norm(params["gn2"], y, groups)
     shortcut = x
     if "proj" in params:
         shortcut = conv2d(params["proj"], x, stride=stride)
@@ -110,9 +139,12 @@ def _block_apply(params, x, groups: int, stride: int = 1):
 def encoder_init(keys, cfg) -> dict:
     """Residual conv encoder (stem + stride-2 stages). ``keys`` is an
     iterator of PRNG keys; ``cfg`` any config with stage_channels /
-    stage_blocks / in_channels (shared by the UNet and FPN families)."""
+    stage_blocks / in_channels (shared by all the conv families). The
+    block kind (basic vs bottleneck) comes from the encoder preset."""
     channels = list(cfg.stage_channels)
     blocks = list(cfg.stage_blocks)
+    kind = ENCODER_PRESETS[cfg.encoder_name][2]
+    block_init = _bottleneck_init if kind == "bottleneck" else _block_init
     params = {"stem": conv2d_init(next(keys), cfg.in_channels, channels[0], 3),
               "stem_gn": _group_norm_init(channels[0]),
               "stages": []}
@@ -120,7 +152,7 @@ def encoder_init(keys, cfg) -> dict:
     for cout, n_blocks in zip(channels[1:], blocks):
         stage = []
         for b in range(n_blocks):
-            stage.append(_block_init(next(keys), cin if b == 0 else cout, cout))
+            stage.append(block_init(next(keys), cin if b == 0 else cout, cout))
             cin = cout
         params["stages"].append(stage)
     return params
