@@ -26,7 +26,7 @@ BATCH = 16
 ITERS = 10
 ROUNDS = 3
 FAMILIES = ("unet", "unetplusplus", "manet", "linknet", "fpn", "pan",
-            "pspnet", "deeplabv3", "deeplabv3plus")
+            "upernet", "segformer", "pspnet", "deeplabv3", "deeplabv3plus")
 
 
 def main():

@@ -12,9 +12,8 @@ Usage:
   python scripts/train_convergence.py paed_binary
   python scripts/train_convergence.py paed_multiclass
   python scripts/train_convergence.py smp_unet     # UNet family, smp task
-  python scripts/train_convergence.py smp_<family> # any conv family
-                                                   # (fpn/linknet/pspnet/
-                                                   #  deeplabv3)
+  python scripts/train_convergence.py smp_<family> # any conv family in
+                                                   # models/registry.py
 """
 
 import dataclasses
@@ -79,8 +78,7 @@ def main(task: str):
     if task.startswith("smp_"):
         # The reference's alternate architectures (StructuralDamageModel,
         # smp.create_model(arch, ...)) with the CE + smp-metrics contract;
-        # any conv family in the registry (unet/fpn/linknet/pspnet/
-        # deeplabv3) runs through the same path.
+        # any conv family in models/registry.py runs through this path.
         from visiontransformer_tpu.models.registry import get_model_family
 
         model = task[len("smp_"):]

@@ -35,7 +35,8 @@ from visiontransformer_tpu.models.unetpp import (
 )
 from visiontransformer_tpu.train import Trainer
 
-NEW_FAMILIES = ("deeplabv3plus", "unetplusplus", "pan", "manet")
+NEW_FAMILIES = ("deeplabv3plus", "unetplusplus", "pan", "manet",
+                "upernet", "segformer")
 
 
 def test_registry_and_cli_choices_in_sync():
@@ -195,6 +196,60 @@ def test_manet_pab_attention_mixes_positions(rng):
     h2[0, 0, 0, :] += 5.0
     out = np.asarray(_pab_apply(pab, jnp.asarray(h2)))
     assert np.abs(out[0, 3, 3] - base[0, 3, 3]).max() > 1e-6
+
+
+def test_upernet_ppm_matches_torch_adaptive_pool(rng):
+    """UPerNet reuses pspnet's matmul-form adaptive pooling; pin its
+    torch AdaptiveAvgPool2d semantics at a non-divisible size (7→3)."""
+    import torch
+
+    from visiontransformer_tpu.models.pspnet import adaptive_avg_pool
+
+    x = rng.random((2, 7, 7, 5)).astype(np.float32)
+    ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), 3))
+    theirs = (torch.nn.functional.adaptive_avg_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 3)
+        .permute(0, 2, 3, 1).numpy())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_upernet_fuses_all_pyramid_levels(rng):
+    """Gradients reach every lateral and every PPM branch from the head —
+    the full-pyramid fusion is wired, not just the finest level."""
+    from visiontransformer_tpu.models.upernet import (
+        UPerNetConfig,
+        upernet_apply,
+        upernet_init,
+    )
+
+    cfg = UPerNetConfig(encoder_name="small", num_classes=3,
+                        normalize=False)
+    params = upernet_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.random((1, 48, 48, 3)), jnp.float32)
+
+    def loss(p):
+        return jnp.mean(upernet_apply(p, x, cfg) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for i, lat in enumerate(grads["lateral"]):
+        assert float(jnp.abs(lat["conv"]["kernel"]).sum()) > 0, f"lat {i}"
+    for i, br in enumerate(grads["ppm"]["branches"]):
+        assert float(jnp.abs(br["conv"]["kernel"]).sum()) > 0, f"ppm {i}"
+
+
+def test_segformer_projections_match_stage_widths(rng):
+    """The per-stage linear projections consume the OS-4/8/16 stages."""
+    from visiontransformer_tpu.models.segformer import (
+        SegformerConfig,
+        segformer_init,
+    )
+
+    cfg = SegformerConfig(encoder_name="small", num_classes=3)
+    params = segformer_init(jax.random.PRNGKey(0), cfg)
+    widths = [p["kernel"].shape[2] for p in params["proj"]]
+    assert widths == [cfg.stage_channels[2], cfg.stage_channels[3],
+                      cfg.stage_channels[4]]
+    assert all(p["kernel"].shape[:2] == (1, 1) for p in params["proj"])
 
 
 def test_bottleneck_encoder_resnet50(rng):

@@ -27,7 +27,7 @@ import sys
 # args without importing jax); tests/test_registry.py pins them equal.
 MODEL_FAMILY_CHOICES = [
     "deeplabv3", "deeplabv3plus", "fpn", "linknet", "manet", "pan",
-    "pspnet", "unet", "unetplusplus", "vitseg",
+    "pspnet", "segformer", "unet", "unetplusplus", "upernet", "vitseg",
 ]
 
 

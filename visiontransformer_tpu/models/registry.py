@@ -41,11 +41,21 @@ from visiontransformer_tpu.models.pspnet import (
     pspnet_apply,
     pspnet_init,
 )
+from visiontransformer_tpu.models.segformer import (
+    SegformerConfig,
+    segformer_apply,
+    segformer_init,
+)
 from visiontransformer_tpu.models.unet import UNetConfig, unet_apply, unet_init
 from visiontransformer_tpu.models.unetpp import (
     UNetPlusPlusConfig,
     unetplusplus_apply,
     unetplusplus_init,
+)
+from visiontransformer_tpu.models.upernet import (
+    UPerNetConfig,
+    upernet_apply,
+    upernet_init,
 )
 from visiontransformer_tpu.models.vitseg import vitseg_apply, vitseg_init
 
@@ -69,6 +79,9 @@ MODEL_FAMILIES = {
                                 UNetPlusPlusConfig),
     "pan": ModelFamily(pan_init, pan_apply, PANConfig),
     "manet": ModelFamily(manet_init, manet_apply, MAnetConfig),
+    "upernet": ModelFamily(upernet_init, upernet_apply, UPerNetConfig),
+    "segformer": ModelFamily(segformer_init, segformer_apply,
+                             SegformerConfig),
 }
 
 
