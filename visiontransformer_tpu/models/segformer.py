@@ -9,13 +9,16 @@ natively (models/registry.py).
 
 TPU-native design, same conventions as the other conv families. smp's
 Segformer pairs the SegFormer all-MLP decode head (Xie et al. 2021) with
-ANY encoder, not just the paper's MiT transformer — this module does the
-same on the shared residual GroupNorm encoder (models/unet.py): each of
-the three deepest stages (OS-4/8/16) is linearly projected (1×1 conv —
-the paper's per-token MLP) onto a common embedding width, everything is
-bilinearly upsampled to the OS-4 grid, concatenated, fused by one more
-1×1 MLP, and classified. The decoder is therefore almost entirely
-channel-space matmuls — the most MXU-friendly decoder of the family set.
+ANY encoder — the paper's MiT transformer or a conv backbone. Both work
+here: `encoder_name="mit_b0|b1|b2"` selects the native Mix Transformer
+(models/mit.py — the authentic SegFormer, four stages at OS-4/8/16/32),
+any other name selects the shared residual GroupNorm encoder
+(models/unet.py, three levels at OS-4/8/16). Each stage is linearly
+projected (1×1 conv — the paper's per-token MLP) onto a common embedding
+width, everything is bilinearly upsampled to the OS-4 grid, concatenated,
+fused by one more 1×1 MLP, and classified. The decoder is therefore
+almost entirely channel-space matmuls — the most MXU-friendly decoder of
+the family set.
 """
 
 from __future__ import annotations
@@ -26,6 +29,11 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from visiontransformer_tpu.models.mit import (
+    MIT_PRESETS,
+    mit_encoder_apply,
+    mit_encoder_init,
+)
 from visiontransformer_tpu.models.unet import (
     ENCODER_PRESETS,
     IMAGENET_MEAN,
@@ -45,9 +53,21 @@ class SegformerConfig:
     in_channels: int = 3
     num_classes: int = 17
     embed_channels: int = 256  # smp's segmentation_channels default
-    groups: int = 8  # GroupNorm groups
+    groups: int = 8  # GroupNorm groups (decoder fuse; conv encoder)
     compute_dtype: str = "float32"
     normalize: bool = True  # smp-style input normalization in forward
+
+    @property
+    def is_mit(self) -> bool:
+        return self.encoder_name in MIT_PRESETS
+
+    @property
+    def level_channels(self) -> Sequence[int]:
+        """Channel widths of the stages the decode head consumes."""
+        if self.is_mit:
+            return MIT_PRESETS[self.encoder_name][0]  # OS-4/8/16/32
+        ch = ENCODER_PRESETS[self.encoder_name][0]
+        return (ch[2], ch[3], ch[4])  # OS-4/8/16
 
     @property
     def stage_channels(self) -> Sequence[int]:
@@ -63,15 +83,15 @@ class SegformerConfig:
 
 
 def segformer_init(key: jax.Array, cfg: SegformerConfig) -> dict:
-    keys = iter(jax.random.split(key, 256))
-    params = encoder_init(keys, cfg)
-    channels = list(cfg.stage_channels)
+    keys = iter(jax.random.split(key, 2048))
+    if cfg.is_mit:
+        params = mit_encoder_init(keys, cfg.encoder_name, cfg.in_channels)
+    else:
+        params = encoder_init(keys, cfg)
+    levels = list(cfg.level_channels)
     c = cfg.embed_channels
-    # Per-stage linear (1×1) projections: OS-4 (skips[2]), OS-8
-    # (skips[3]), OS-16 (deepest).
-    params["proj"] = [conv2d_init(next(keys), cin, c, 1)
-                      for cin in (channels[2], channels[3], channels[4])]
-    params["fuse"] = {"conv": conv2d_init(next(keys), c * 3, c, 1),
+    params["proj"] = [conv2d_init(next(keys), cin, c, 1) for cin in levels]
+    params["fuse"] = {"conv": conv2d_init(next(keys), c * len(levels), c, 1),
                       "gn": _group_norm_init(c)}
     params["head"] = conv2d_init(next(keys), c, cfg.num_classes, 1)
     params["norm_mean"] = jnp.asarray(IMAGENET_MEAN, jnp.float32)
@@ -89,8 +109,11 @@ def segformer_apply(params: dict, images: jnp.ndarray, cfg: SegformerConfig,
         x = (x - params["norm_mean"].astype(x.dtype)) / \
             params["norm_std"].astype(x.dtype)
 
-    deepest, skips = encoder_apply(params, x, cfg.groups)
-    levels = (skips[2], skips[3], deepest)  # OS-4, OS-8, OS-16
+    if cfg.is_mit:
+        levels = mit_encoder_apply(params, x, cfg.encoder_name)
+    else:
+        deepest, skips = encoder_apply(params, x, cfg.groups)
+        levels = (skips[2], skips[3], deepest)  # OS-4, OS-8, OS-16
 
     target = (levels[0].shape[1], levels[0].shape[2])
     projected = []
