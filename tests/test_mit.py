@@ -115,3 +115,41 @@ def test_segformer_conv_encoder_unchanged(rng):
     params = segformer_init(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
     assert segformer_apply(params, x, cfg).shape == (1, 64, 64, 4)
+
+
+def test_mit_matches_hf_segformer(rng):
+    """fp32 parity of all four stage outputs vs a live HF SegformerModel
+    (mit_b0 geometry, random-init weights converted through
+    convert_hf_segformer_state) — the same strongest-form parity evidence
+    test_model_parity.py provides for the ViT backbone."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from visiontransformer_tpu.ckpt.torch_convert import (
+        convert_hf_segformer_state,
+    )
+
+    dims, depths, heads, srs = MIT_PRESETS["mit_b0"]
+    hf_cfg = transformers.SegformerConfig(
+        num_channels=3, num_encoder_blocks=4, depths=list(depths),
+        sr_ratios=list(srs), hidden_sizes=list(dims),
+        num_attention_heads=list(heads), patch_sizes=[7, 3, 3, 3],
+        strides=[4, 2, 2, 2], mlp_ratios=[4, 4, 4, 4],
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0, reshape_last_stage=True)
+    torch.manual_seed(0)
+    model = transformers.SegformerModel(hf_cfg).eval()
+
+    params = convert_hf_segformer_state(model.state_dict(), "mit_b0")
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(x),
+                         output_hidden_states=True).hidden_states
+
+    feats = mit_encoder_apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                              "mit_b0")
+    assert len(expected) == len(feats) == 4
+    for hf_nchw, ours_nhwc in zip(expected, feats):
+        np.testing.assert_allclose(
+            np.asarray(ours_nhwc).transpose(0, 3, 1, 2), hf_nchw.numpy(),
+            atol=3e-5, rtol=1e-4)

@@ -216,3 +216,57 @@ def save_lightning_checkpoint(path: str, params: dict, cfg: ViTSegConfig, *,
     torch.save({"state_dict": state, "epoch": epoch,
                 "global_step": global_step}, path)
     return path
+
+
+def convert_hf_segformer_state(state: Mapping[str, Array],
+                               encoder_name: str) -> dict:
+    """HF ``SegformerModel`` / ``SegformerForSemanticSegmentation``
+    state_dict → the models/mit.py encoder pytree.
+
+    Key layout per HF transformers modeling_segformer.py:
+    ``encoder.patch_embeddings.{i}.{proj,layer_norm}``,
+    ``encoder.block.{i}.{j}.{layer_norm_1,attention.self.(query|key|value|
+    sr|layer_norm),attention.output.dense,layer_norm_2,mlp.(dense1|
+    dwconv.dwconv|dense2)}``, ``encoder.layer_norm.{i}`` — the
+    ``segformer.`` prefix (present on the ForSemanticSegmentation wrapper)
+    is stripped if found. The depthwise Mix-FFN conv stores (C,1,3,3) in
+    torch groups layout; transpose(2,3,1,0) yields our (3,3,1,C) HWIO
+    feature-group kernel. fp32 parity vs the live HF module is asserted
+    in tests/test_mit.py."""
+    from visiontransformer_tpu.models.mit import MIT_PRESETS
+
+    state = {k.removeprefix("segformer."): v for k, v in state.items()}
+    dims, depths, _, srs = MIT_PRESETS[encoder_name]
+    stages = []
+    for i, (depth, sr) in enumerate(zip(depths, srs)):
+        blocks = []
+        for j in range(depth):
+            b = f"encoder.block.{i}.{j}."
+            attn = {
+                "q": _linear(state, b + "attention.self.query"),
+                "k": _linear(state, b + "attention.self.key"),
+                "v": _linear(state, b + "attention.self.value"),
+                "proj": _linear(state, b + "attention.output.dense"),
+            }
+            if sr > 1:
+                attn["sr"] = _conv(state, b + "attention.self.sr")
+                attn["sr_ln"] = _layer_norm(state,
+                                            b + "attention.self.layer_norm")
+            blocks.append({
+                "ln1": _layer_norm(state, b + "layer_norm_1"),
+                "attn": attn,
+                "ln2": _layer_norm(state, b + "layer_norm_2"),
+                "ffn": {
+                    "fc1": _linear(state, b + "mlp.dense1"),
+                    "dw": _conv(state, b + "mlp.dwconv.dwconv"),
+                    "fc2": _linear(state, b + "mlp.dense2"),
+                },
+            })
+        e = f"encoder.patch_embeddings.{i}."
+        stages.append({
+            "embed": _conv(state, e + "proj"),
+            "embed_ln": _layer_norm(state, e + "layer_norm"),
+            "blocks": blocks,
+            "norm": _layer_norm(state, f"encoder.layer_norm.{i}"),
+        })
+    return {"stages": stages}

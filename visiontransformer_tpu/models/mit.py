@@ -17,7 +17,15 @@ transformer blocks with
   interpolating learned tables), GELU, 1×1 project.
 
 Pure-functional like every other model here: init/apply pairs over
-pytrees, NHWC throughout, LayerNorm in f32 with SegFormer's 1e-6 eps.
+pytrees, NHWC throughout, LayerNorm in f32. Numerics match HF
+`transformers` SegformerModel exactly (fp32 parity proven in
+tests/test_mit.py): embed convs pad symmetrically by kernel//2
+(modeling_segformer.py SegformerOverlapPatchEmbeddings, padding =
+patch_size // 2 — NOT XLA "SAME", which splits odd padding
+asymmetrically for strided convs) and every LayerNorm uses the torch
+default eps 1e-5 (HF constructs bare nn.LayerNorm throughout the
+encoder). `ckpt/torch_convert.convert_hf_segformer_state` loads real
+pretrained mit_b* weights from an HF state_dict.
 """
 
 from __future__ import annotations
@@ -47,7 +55,7 @@ MIT_PRESETS = {
     "mit_b2": ((64, 128, 320, 512), (3, 4, 6, 3), (1, 2, 5, 8), (8, 4, 2, 1)),
 }
 
-_LN_EPS = 1e-6
+_LN_EPS = 1e-5  # torch nn.LayerNorm default, used bare by HF's encoder
 _MLP_RATIO = 4
 
 
@@ -159,7 +167,9 @@ def mit_encoder_apply(params: dict, x: jnp.ndarray,
     dims, depths, heads, srs = MIT_PRESETS[encoder_name]
     feats = []
     for i, stage in enumerate(params["stages"]):
-        x = conv2d(stage["embed"], x, stride=4 if i == 0 else 2)
+        k = 7 if i == 0 else 3  # embed kernel; torch pads k//2 each side
+        x = conv2d(stage["embed"], x, stride=4 if i == 0 else 2,
+                   padding=[(k // 2, k // 2)] * 2)
         x = layer_norm(stage["embed_ln"], x, eps=_LN_EPS)
         for block in stage["blocks"]:
             x = _block_apply(block, x, heads[i], srs[i])
