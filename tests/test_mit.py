@@ -153,3 +153,18 @@ def test_mit_matches_hf_segformer(rng):
         np.testing.assert_allclose(
             np.asarray(ours_nhwc).transpose(0, 3, 1, 2), hf_nchw.numpy(),
             atol=3e-5, rtol=1e-4)
+
+
+def test_mit_preset_zoo(rng):
+    """All six presets (b0-b5) init and run; params grow monotonically
+    with the preset index (the paper's scaling axis is depth)."""
+    counts = []
+    for name in ("mit_b0", "mit_b1", "mit_b2", "mit_b3", "mit_b4", "mit_b5"):
+        keys = iter(jax.random.split(jax.random.PRNGKey(0), 4096))
+        params = mit_encoder_init(keys, name)
+        counts.append(sum(int(np.prod(p.shape))
+                          for p in jax.tree.leaves(params)))
+    assert counts == sorted(counts) and len(set(counts)) == len(counts)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+    feats = mit_encoder_apply(params, x, "mit_b5")
+    assert feats[-1].shape == (1, 1, 1, 512)
