@@ -83,9 +83,9 @@ def main(task: str):
 
         model = task[len("smp_"):]
         trainer_task = "smp_multiclass"
-        entry_name = "resnet18"
+        entry_name = os.environ.get("CONV_ENCODER", "resnet18")
         seg_cfg = get_model_family(model).config_cls(
-            encoder_name="resnet18", num_classes=probe.num_classes,
+            encoder_name=entry_name, num_classes=probe.num_classes,
             compute_dtype="bfloat16")
         entry = None
     else:

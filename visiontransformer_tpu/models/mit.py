@@ -38,12 +38,13 @@ import jax.numpy as jnp
 from visiontransformer_tpu.nn.layers import (
     conv2d,
     conv2d_init,
+    depthwise,
+    depthwise_init,
     gelu_exact,
     layer_norm,
     layer_norm_init,
     linear,
     linear_init,
-    trunc_normal,
 )
 
 # SegFormer paper table 6: dims / depths / heads / KV spatial-reduction
@@ -60,21 +61,6 @@ MIT_PRESETS = {
 
 _LN_EPS = 1e-5  # torch nn.LayerNorm default, used bare by HF's encoder
 _MLP_RATIO = 4
-
-
-def _depthwise_init(key, channels: int, kernel: int):
-    shape = (kernel, kernel, 1, channels)
-    return {"kernel": trunc_normal(key, shape, 0.02),
-            "bias": jnp.zeros((channels,), jnp.float32)}
-
-
-def _depthwise(params, x):
-    kernel = params["kernel"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding="SAME",
-        feature_group_count=x.shape[-1],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + params["bias"].astype(x.dtype)
 
 
 def _attn_init(keys, dim: int, sr_ratio: int):
@@ -120,14 +106,14 @@ def _mixffn_init(keys, dim: int):
     hidden = dim * _MLP_RATIO
     return {
         "fc1": linear_init(next(keys), dim, hidden),
-        "dw": _depthwise_init(next(keys), hidden, 3),
+        "dw": depthwise_init(next(keys), hidden, 3),
         "fc2": linear_init(next(keys), hidden, dim),
     }
 
 
 def _mixffn_apply(params, x):
     y = linear(params["fc1"], x)
-    y = gelu_exact(_depthwise(params["dw"], y))
+    y = gelu_exact(depthwise(params["dw"], y))
     return linear(params["fc2"], y)
 
 

@@ -19,21 +19,33 @@ TPU-native design choices (not a translation of smp internals):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from visiontransformer_tpu.nn.layers import conv2d, conv2d_init
+from visiontransformer_tpu.nn.layers import (
+    conv2d,
+    conv2d_init,
+    depthwise,
+    depthwise_init,
+)
 from visiontransformer_tpu.ops.resize import resize_bilinear
 
 # Encoder presets: (stage channels, blocks per stage, block kind). The
-# channel/depth layouts mirror the torchvision encoders smp wraps;
-# "bottleneck" stages use the 1×1→3×3→1×1 residual block (expansion 4).
+# channel/depth layouts mirror the torchvision/timm encoders smp wraps;
+# "bottleneck" stages use the 1×1→3×3→1×1 residual block (expansion 4),
+# "inverted" the MobileNetV2 expand→depthwise→project block (ReLU6, linear
+# bottleneck, expansion 6), "mbconv" the EfficientNet variant (SiLU +
+# squeeze-excitation). Structure-parity only — GroupNorm replaces BN
+# (documented divergence) so these are not weight-compatible with timm.
 ENCODER_PRESETS = {
     "resnet18": ((64, 64, 128, 256, 512), (2, 2, 2, 2), "basic"),
     "resnet34": ((64, 64, 128, 256, 512), (3, 4, 6, 3), "basic"),
     "resnet50": ((64, 256, 512, 1024, 2048), (3, 4, 6, 3), "bottleneck"),
+    "mobilenetv2": ((32, 24, 32, 96, 320), (2, 3, 4, 3), "inverted"),
+    "efficientnet_b0": ((32, 24, 40, 112, 320), (2, 2, 3, 4), "mbconv"),
     "small": ((32, 32, 64, 128, 256), (1, 1, 1, 1), "basic"),
 }
 
@@ -112,10 +124,56 @@ def _bottleneck_init(key, cin: int, cout: int):
     return params
 
 
+def _inverted_init(key, cin: int, cout: int, *, se: bool = False,
+                   expand: int = 6):
+    """MobileNetV2 inverted-residual block params; with ``se`` the
+    EfficientNet MBConv (squeeze-excitation on the expanded channels,
+    reduction 0.25·cin as in the paper)."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    mid = cin * expand
+    params = {
+        "expand": conv2d_init(k1, cin, mid, 1),
+        "gn_e": _group_norm_init(mid),
+        "dw": depthwise_init(k2, mid, 3),
+        "gn_d": _group_norm_init(mid),
+        "project": conv2d_init(k3, mid, cout, 1),
+        "gn_p": _group_norm_init(cout),
+    }
+    if se:
+        hidden = max(1, cin // 4)
+        params["se"] = {"fc1": conv2d_init(k4, mid, hidden, 1),
+                        "fc2": conv2d_init(k5, hidden, mid, 1)}
+    return params
+
+
+def _inverted_apply(params, x, groups: int, stride: int):
+    # SE presence selects the activation: MBConv (EfficientNet) is SiLU,
+    # plain inverted residual (MobileNetV2) is ReLU6.
+    act = jax.nn.silu if "se" in params else \
+        (lambda v: jnp.minimum(jax.nn.relu(v), 6.0))
+    y = act(_group_norm(params["gn_e"], conv2d(params["expand"], x), groups))
+    y = act(_group_norm(params["gn_d"],
+                        depthwise(params["dw"], y, stride=stride), groups))
+    if "se" in params:
+        s = jnp.mean(y, axis=(1, 2), keepdims=True)
+        s = jax.nn.sigmoid(conv2d(params["se"]["fc2"],
+                                  jax.nn.silu(conv2d(params["se"]["fc1"], s))))
+        y = y * s
+    y = _group_norm(params["gn_p"], conv2d(params["project"], y), groups)
+    # Linear bottleneck: residual only at stride 1 / equal width, no
+    # activation after the projection (MobileNetV2 §3.2).
+    if stride == 1 and x.shape[-1] == y.shape[-1]:
+        y = x + y
+    return y
+
+
 def _block_apply(params, x, groups: int, stride: int = 1):
-    """Residual block. Dispatches structurally on the param dict: the
-    bottleneck variant carries a third conv (1×1→3×3→1×1, stride on the
-    3×3 as in torchvision's ResNet v1.5); the basic variant is 3×3→3×3."""
+    """Residual block. Dispatches structurally on the param dict: "dw"
+    marks the inverted/MBConv variant, a third conv the bottleneck
+    (1×1→3×3→1×1, stride on the 3×3 as in torchvision's ResNet v1.5);
+    otherwise the basic 3×3→3×3."""
+    if "dw" in params:
+        return _inverted_apply(params, x, groups, stride)
     if "conv3" in params:
         y = conv2d(params["conv1"], x)
         y = jax.nn.relu(_group_norm(params["gn1"], y, groups))
@@ -140,11 +198,16 @@ def encoder_init(keys, cfg) -> dict:
     """Residual conv encoder (stem + stride-2 stages). ``keys`` is an
     iterator of PRNG keys; ``cfg`` any config with stage_channels /
     stage_blocks / in_channels (shared by all the conv families). The
-    block kind (basic vs bottleneck) comes from the encoder preset."""
+    block kind (basic / bottleneck / inverted / mbconv) comes from the
+    encoder preset."""
     channels = list(cfg.stage_channels)
     blocks = list(cfg.stage_blocks)
     kind = ENCODER_PRESETS[cfg.encoder_name][2]
-    block_init = _bottleneck_init if kind == "bottleneck" else _block_init
+    block_init = {
+        "bottleneck": _bottleneck_init,
+        "inverted": functools.partial(_inverted_init, se=False),
+        "mbconv": functools.partial(_inverted_init, se=True),
+    }.get(kind, _block_init)
     params = {"stem": conv2d_init(next(keys), cfg.in_channels, channels[0], 3),
               "stem_gn": _group_norm_init(channels[0]),
               "stages": []}

@@ -102,3 +102,24 @@ def dropout(key: Optional[jax.Array], x, rate: float, *, deterministic: bool):
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def depthwise_init(key, channels: int, kernel_size: int = 3,
+                   std: float = 0.02):
+    """Depthwise conv kernel, HWIO with I=1 and feature_group_count=C."""
+    shape = (kernel_size, kernel_size, 1, channels)
+    return {"kernel": trunc_normal(key, shape, std),
+            "bias": jnp.zeros((channels,), jnp.float32)}
+
+
+def depthwise(params, x, *, stride: int = 1, padding="SAME"):
+    """Per-channel (grouped) conv on NHWC. The positional/spatial mixer of
+    MobileNet-style blocks and SegFormer's Mix-FFN; runs on the VPU (no
+    cross-channel contraction), so it is cheap next to the 1x1 MXU convs
+    around it."""
+    kernel = params["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride), padding=padding,
+        feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + params["bias"].astype(y.dtype)
