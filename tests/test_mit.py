@@ -168,3 +168,52 @@ def test_mit_preset_zoo(rng):
     x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
     feats = mit_encoder_apply(params, x, "mit_b5")
     assert feats[-1].shape == (1, 1, 1, 512)
+
+
+def test_segformer_full_model_matches_hf(rng):
+    """Full-model fp32 parity: HF SegformerForSemanticSegmentation
+    (mit_b0 geometry) vs our segformer family with head_norm="affine"
+    (folded inference BatchNorm) — encoder, all-MLP decode head, and the
+    final bilinear upsample all agree, so real pretrained SegFormer
+    checkpoints serve on TPU with exact numerics."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from visiontransformer_tpu.ckpt.torch_convert import (
+        convert_hf_segformer_seg_state,
+    )
+
+    dims, depths, heads, srs = MIT_PRESETS["mit_b0"]
+    hf_cfg = transformers.SegformerConfig(
+        num_channels=3, num_encoder_blocks=4, depths=list(depths),
+        sr_ratios=list(srs), hidden_sizes=list(dims),
+        num_attention_heads=list(heads), patch_sizes=[7, 3, 3, 3],
+        strides=[4, 2, 2, 2], mlp_ratios=[4, 4, 4, 4],
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        classifier_dropout_prob=0.0, drop_path_rate=0.0,
+        decoder_hidden_size=64, num_labels=5)
+    torch.manual_seed(0)
+    model = transformers.SegformerForSemanticSegmentation(hf_cfg).eval()
+    # Random running stats so the BatchNorm fold is actually exercised.
+    with torch.no_grad():
+        model.decode_head.batch_norm.running_mean.normal_(0, 0.5)
+        model.decode_head.batch_norm.running_var.uniform_(0.5, 2.0)
+
+    cfg = SegformerConfig(encoder_name="mit_b0", num_classes=5,
+                          embed_channels=64, head_norm="affine",
+                          normalize=False)
+    params = convert_hf_segformer_seg_state(model.state_dict(), cfg)
+
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(x)).logits  # OS-4
+        expected = torch.nn.functional.interpolate(
+            hf_logits, size=(64, 64), mode="bilinear",
+            align_corners=False).numpy()
+
+    got = np.asarray(segformer_apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)), cfg))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), expected,
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_array_equal(got.argmax(-1),
+                                  expected.argmax(1))

@@ -270,3 +270,60 @@ def convert_hf_segformer_state(state: Mapping[str, Array],
             "norm": _layer_norm(state, f"encoder.layer_norm.{i}"),
         })
     return {"stages": stages}
+
+
+def convert_hf_segformer_seg_state(state: Mapping[str, Array],
+                                   cfg) -> dict:
+    """HF ``SegformerForSemanticSegmentation`` state_dict → the full
+    models/segformer.py pytree (MiT encoder + all-MLP decode head).
+
+    ``cfg`` is a SegformerConfig with a mit_* encoder and
+    ``head_norm="affine"``. Decode-head translations (HF
+    modeling_segformer.py SegformerDecodeHead):
+    - per-stage ``linear_c.{i}.proj`` Linears become our 1×1 conv
+      projections ((in,out).T reshaped to (1,1,in,out) HWIO);
+    - HF concatenates the upsampled stages deepest-first while we keep
+      encoder order (shallowest-first), so the bias-less ``linear_fuse``
+      kernel's input-channel blocks are reversed at conversion;
+    - ``batch_norm`` (inference mode) folds to a per-channel affine:
+      scale = γ/√(var+ε), bias = β − mean·scale;
+    - ``classifier`` is our 1×1 head conv.
+    fp32 full-model parity vs the live HF module is asserted in
+    tests/test_mit.py."""
+    state = {k.removeprefix("segformer."): v for k, v in state.items()}
+    if cfg.head_norm != "affine":
+        raise ValueError("HF decode-head weights need head_norm='affine' "
+                         "(folded BatchNorm); got %r" % cfg.head_norm)
+    params = convert_hf_segformer_state(state, cfg.encoder_name)
+
+    c = cfg.embed_channels
+    n_levels = len(cfg.level_channels)
+    params["proj"] = []
+    for i in range(n_levels):
+        w = _to_np(state[f"decode_head.linear_c.{i}.proj.weight"])  # (out,in)
+        params["proj"].append({
+            "kernel": jnp.asarray(w.T[None, None]),
+            "bias": jnp.asarray(_to_np(
+                state[f"decode_head.linear_c.{i}.proj.bias"])),
+        })
+
+    fuse_w = _to_np(state["decode_head.linear_fuse.weight"])  # (C,4C,1,1)
+    blocks = fuse_w.reshape(c, n_levels, c, 1, 1)[:, ::-1]  # deep→shallow
+    fuse_kernel = blocks.reshape(c, n_levels * c, 1, 1).transpose(2, 3, 1, 0)
+
+    eps = 1e-5  # torch BatchNorm2d default
+    gamma = _to_np(state["decode_head.batch_norm.weight"])
+    beta = _to_np(state["decode_head.batch_norm.bias"])
+    mean = _to_np(state["decode_head.batch_norm.running_mean"])
+    var = _to_np(state["decode_head.batch_norm.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    params["fuse"] = {
+        "conv": {"kernel": jnp.asarray(fuse_kernel),
+                 "bias": jnp.zeros((c,), jnp.float32)},
+        "affine": {"scale": jnp.asarray(scale),
+                   "bias": jnp.asarray(beta - mean * scale)},
+    }
+    params["head"] = _conv(state, "decode_head.classifier")
+    params["norm_mean"] = jnp.asarray((0.485, 0.456, 0.406), jnp.float32)
+    params["norm_std"] = jnp.asarray((0.229, 0.224, 0.225), jnp.float32)
+    return params

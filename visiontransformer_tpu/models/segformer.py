@@ -56,6 +56,12 @@ class SegformerConfig:
     groups: int = 8  # GroupNorm groups (decoder fuse; conv encoder)
     compute_dtype: str = "float32"
     normalize: bool = True  # smp-style input normalization in forward
+    # "gn" (default; batch-independent, shards freely) or "affine" — a
+    # per-channel scale/bias, the inference-mode fold of the HF decode
+    # head's BatchNorm2d. convert_hf_segformer_seg_state produces params
+    # for the affine form so real pretrained SegFormer checkpoints serve
+    # with exact numerics (tests/test_mit.py full-model parity).
+    head_norm: str = "gn"
 
     @property
     def is_mit(self) -> bool:
@@ -91,8 +97,11 @@ def segformer_init(key: jax.Array, cfg: SegformerConfig) -> dict:
     levels = list(cfg.level_channels)
     c = cfg.embed_channels
     params["proj"] = [conv2d_init(next(keys), cin, c, 1) for cin in levels]
+    norm = ({"affine": {"scale": jnp.ones((c,), jnp.float32),
+                        "bias": jnp.zeros((c,), jnp.float32)}}
+            if cfg.head_norm == "affine" else {"gn": _group_norm_init(c)})
     params["fuse"] = {"conv": conv2d_init(next(keys), c * len(levels), c, 1),
-                      "gn": _group_norm_init(c)}
+                      **norm}
     params["head"] = conv2d_init(next(keys), c, cfg.num_classes, 1)
     params["norm_mean"] = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     params["norm_std"] = jnp.asarray(IMAGENET_STD, jnp.float32)
@@ -122,9 +131,14 @@ def segformer_apply(params: dict, images: jnp.ndarray, cfg: SegformerConfig,
         projected.append(resize_bilinear(y, target, h_axis=1, w_axis=2))
 
     fused = jnp.concatenate(projected, axis=-1)
-    fused = jax.nn.relu(_group_norm(params["fuse"]["gn"],
-                                    conv2d(params["fuse"]["conv"], fused),
-                                    cfg.groups))
+    fused = conv2d(params["fuse"]["conv"], fused)
+    if "affine" in params["fuse"]:  # folded inference BatchNorm (HF head)
+        aff = params["fuse"]["affine"]
+        fused = fused * aff["scale"].astype(fused.dtype) \
+            + aff["bias"].astype(fused.dtype)
+    else:
+        fused = _group_norm(params["fuse"]["gn"], fused, cfg.groups)
+    fused = jax.nn.relu(fused)
     logits = conv2d(params["head"], fused).astype(jnp.float32)
     if logits.shape[1] != images.shape[1]:
         logits = resize_bilinear(logits, (images.shape[1], images.shape[2]),
