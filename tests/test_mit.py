@@ -217,3 +217,42 @@ def test_segformer_full_model_matches_hf(rng):
                                atol=5e-5, rtol=1e-4)
     np.testing.assert_array_equal(got.argmax(-1),
                                   expected.argmax(1))
+
+
+def test_resolve_model_loads_hf_pretrained_dir(rng, tmp_path):
+    """resolve_model('segformer', ..., checkpoint_path=<HF save_pretrained
+    dir>) loads real pretrained SegFormer weights: geometry/classes/width
+    come from the HF config, the loaded params reproduce the direct
+    converter output exactly."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from visiontransformer_tpu.ckpt.torch_convert import (
+        convert_hf_segformer_seg_state,
+    )
+    from visiontransformer_tpu.models.registry import resolve_model
+
+    dims, depths, heads, srs = MIT_PRESETS["mit_b0"]
+    hf_cfg = transformers.SegformerConfig(
+        num_channels=3, num_encoder_blocks=4, depths=list(depths),
+        sr_ratios=list(srs), hidden_sizes=list(dims),
+        num_attention_heads=list(heads), patch_sizes=[7, 3, 3, 3],
+        strides=[4, 2, 2, 2], mlp_ratios=[4, 4, 4, 4],
+        decoder_hidden_size=64, num_labels=7)
+    torch.manual_seed(0)
+    model = transformers.SegformerForSemanticSegmentation(hf_cfg).eval()
+    model.save_pretrained(tmp_path / "hf_segformer")
+
+    cfg, params = resolve_model("segformer", "mit_b0", num_classes=3,
+                                checkpoint_path=str(tmp_path / "hf_segformer"))
+    assert cfg.head_norm == "affine"
+    assert cfg.num_classes == 7  # HF config wins over the CLI arg
+    assert cfg.embed_channels == 64
+
+    direct = convert_hf_segformer_seg_state(model.state_dict(), cfg)
+    for got, want in zip(jax.tree.leaves(params), jax.tree.leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    logits = segformer_apply(params, x, cfg)
+    assert logits.shape == (1, 64, 64, 7)

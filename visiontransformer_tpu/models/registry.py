@@ -118,7 +118,37 @@ def resolve_model(family: str, config_name: str, *, num_classes: int,
                              num_classes=num_classes,
                              compute_dtype=compute_dtype)
 
-    if checkpoint_path and os.path.isdir(checkpoint_path):
+    if (family == "segformer" and checkpoint_path
+            and os.path.isfile(os.path.join(checkpoint_path, "config.json"))):
+        # HF save_pretrained layout: load real pretrained SegFormer
+        # weights (SegformerForSemanticSegmentation) straight into the
+        # native family — geometry, class count, and decode width come
+        # from the HF config; the decode head's BatchNorm folds to the
+        # affine form (ckpt/torch_convert.convert_hf_segformer_seg_state).
+        import dataclasses
+
+        import transformers
+
+        from visiontransformer_tpu.ckpt.torch_convert import (
+            convert_hf_segformer_seg_state,
+        )
+        from visiontransformer_tpu.models.mit import MIT_PRESETS
+
+        hf = transformers.SegformerForSemanticSegmentation.from_pretrained(
+            checkpoint_path)
+        geometry = (tuple(hf.config.hidden_sizes), tuple(hf.config.depths))
+        matches = [n for n, (dims, depths, _, _) in MIT_PRESETS.items()
+                   if (dims, depths) == geometry]
+        if not matches:
+            raise ValueError(
+                f"HF checkpoint geometry {geometry} matches no MiT preset "
+                f"(known: {sorted(MIT_PRESETS)})")
+        cfg = dataclasses.replace(
+            cfg, encoder_name=matches[0], head_norm="affine",
+            num_classes=hf.config.num_labels,
+            embed_channels=hf.config.decoder_hidden_size)
+        params = convert_hf_segformer_seg_state(hf.state_dict(), cfg)
+    elif checkpoint_path and os.path.isdir(checkpoint_path):
         from visiontransformer_tpu.ckpt.io import restore_checkpoint
 
         restored = restore_checkpoint(checkpoint_path)
