@@ -491,9 +491,12 @@ def test_worker_mesh_sharded_inference_matches_single_device(tmp_path):
         registry_mod.sweep_by_name = orig
 
 
-@pytest.mark.parametrize("family", ["unet", "fpn", "linknet", "pspnet",
-                                    "deeplabv3"])
-def test_conv_family_model_serves_jobs(tmp_path, family):
+@pytest.mark.parametrize("family,config", [
+    ("unet", "small"), ("fpn", "small"), ("linknet", "small"),
+    ("pspnet", "small"), ("deeplabv3", "small"),
+    ("segformer", "mit_b0"),  # the native Mix Transformer encoder
+])
+def test_conv_family_model_serves_jobs(tmp_path, family, config):
     """A model registered with any conv model_family (config_name carries
     the encoder preset) serves jobs through the worker end to end — the
     serving face of the generic StructuralDamageModel(arch, encoder)
@@ -501,7 +504,7 @@ def test_conv_family_model_serves_jobs(tmp_path, family):
     families (family-generic ModelRunner path)."""
     store = JobStore(":memory:", media_root=str(tmp_path / "media"))
     mid = store.register_model(f"damage-{family}", num_classes=4,
-                               config_name="small", input_size=32,
+                               config_name=config, input_size=32,
                                model_family=family)
     row = store.get_model(mid)
     assert row["model_family"] == family
