@@ -187,3 +187,29 @@ def test_export_cli(tmp_path):
     assert "model.backbone.encoder.layer.0.attention.attention.query.weight" in sd
     assert "model.seg_head.0.weight" in sd
     assert sd["model.seg_head.2.weight"].shape[0] == 4
+
+
+def test_register_model_cli_accepts_mit_and_rejects_unknown(tmp_path):
+    """register-model validates encoder presets per family: segformer
+    takes the native MiT names (models/mit.py), other conv families only
+    the shared-encoder presets, and unknown names fail fast before any
+    DB write."""
+    from visiontransformer_tpu.cli import main as cli_main
+    from visiontransformer_tpu.serve.store import JobStore
+
+    db = str(tmp_path / "serving.db")
+    base = ["register-model", "--db", db, "--media-root",
+            str(tmp_path / "media")]
+    assert cli_main(base + ["--name", "sf-mit", "--family", "segformer",
+                            "--config", "mit_b0",
+                            "--num-classes", "4"]) == 0
+    assert cli_main(base + ["--name", "bad-unet", "--family", "unet",
+                            "--config", "mit_b0",
+                            "--num-classes", "4"]) == 1
+    assert cli_main(base + ["--name", "bad-enc", "--family", "segformer",
+                            "--config", "nope",
+                            "--num-classes", "4"]) == 1
+
+    rows = JobStore(db, media_root=str(tmp_path / "media")).list_models()
+    assert [r["name"] for r in rows] == ["sf-mit"]
+    assert rows[0]["config_name"] == "mit_b0"

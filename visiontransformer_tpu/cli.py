@@ -514,10 +514,16 @@ def cmd_register_model(args) -> int:
     if args.family == "vitseg":
         sweep_by_name(args.config)
     else:
+        from visiontransformer_tpu.models.mit import MIT_PRESETS
         from visiontransformer_tpu.models.unet import ENCODER_PRESETS
-        if args.config not in ENCODER_PRESETS:
+
+        # segformer also takes the native Mix Transformer encoders.
+        valid = dict(ENCODER_PRESETS)
+        if args.family == "segformer":
+            valid.update(MIT_PRESETS)
+        if args.config not in valid:
             print(f"error: unknown encoder preset {args.config!r}; "
-                  f"choose from {sorted(ENCODER_PRESETS)}", file=sys.stderr)
+                  f"choose from {sorted(valid)}", file=sys.stderr)
             return 1
     if args.ckpt and not os.path.exists(args.ckpt):
         print(f"error: checkpoint {args.ckpt} does not exist",
