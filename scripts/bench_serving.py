@@ -9,6 +9,15 @@ Round-2 numbers with THIS harness (256 jobs, submit->DONE for every job):
 11.8 jobs/s full stack / 35.1 jobs/s worker-only on the single-core host
 (docs/PERFORMANCE.md "End-to-end serving"). The raw model throughput is far
 higher; end-to-end is host-CPU-bound.
+
+Env knobs:
+  SERVE_CONFIG   model config name (default P16H768A12; e.g. vit_l_16 for
+                 the BASELINE.json ViT-L/16 serving stretch config)
+  SERVE_FAMILY   model family (default vitseg)
+  SERVE_INPUT    input size (default 224)
+  WORKER_ONLY=1  skip HTTP: create jobs straight in the store and measure
+                 claim->decode->TPU->postprocess->DONE
+  N_JOBS / N_CLIENTS  job and client counts
 """
 
 import io
@@ -24,8 +33,12 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 from PIL import Image
 
-N_JOBS = 256
-N_CLIENTS = 32
+N_JOBS = int(os.environ.get("N_JOBS", "256"))
+N_CLIENTS = int(os.environ.get("N_CLIENTS", "32"))
+SERVE_CONFIG = os.environ.get("SERVE_CONFIG", "P16H768A12")
+SERVE_FAMILY = os.environ.get("SERVE_FAMILY", "vitseg")
+SERVE_INPUT = int(os.environ.get("SERVE_INPUT", "224"))
+WORKER_ONLY = os.environ.get("WORKER_ONLY", "") == "1"
 
 
 def make_client(base, username):
@@ -104,8 +117,9 @@ def main():
     store = JobStore(os.path.join(tmp, "db.sqlite"),
                      media_root=os.path.join(tmp, "media"))
     model_id = store.register_model(
-        "vit-b16-damage", num_classes=17, config_name="P16H768A12",
-        description="bench model")
+        f"{SERVE_FAMILY}-{SERVE_CONFIG}-damage", num_classes=17,
+        config_name=SERVE_CONFIG, model_family=SERVE_FAMILY,
+        input_size=SERVE_INPUT, description="bench model")
     worker = InferenceWorker(store, warmup=True, buckets=(8, 32))
     server, _ = create_server(store, host="127.0.0.1", port=0, worker=worker)
     port = server.server_address[1]
@@ -121,6 +135,32 @@ def main():
     buf = io.BytesIO()
     img.save(buf, "PNG")
     png_bytes = buf.getvalue()
+
+    if WORKER_ONLY:
+        # No HTTP: jobs straight into the store; measures the worker path
+        # (claim -> decode -> TPU batch -> postprocess -> DONE) alone.
+        img_path = os.path.join(tmp, "in.png")
+        with open(img_path, "wb") as f:
+            f.write(png_bytes)
+        print(f"driving {N_JOBS} jobs worker-only ({SERVE_FAMILY} "
+              f"{SERVE_CONFIG} @{SERVE_INPUT})...")
+        t0 = time.perf_counter()
+        jobs = [store.create_job(None, model_id, img_path)
+                for _ in range(N_JOBS)]
+        pending = {j["id"] for j in jobs}
+        deadline = time.time() + 600
+        while pending and time.time() < deadline:
+            for jid in list(pending):
+                st = store.get_job(jid)
+                if st["status"] in ("DONE", "FAILED"):
+                    pending.discard(jid)
+            time.sleep(0.05)
+        dt = time.perf_counter() - t0
+        print(f"worker-only: {(N_JOBS - len(pending)) / dt:.1f} jobs/s "
+              f"over {dt:.1f}s ({len(pending)} unfinished)")
+        server.shutdown()
+        worker.stop()
+        return
 
     print(f"driving {N_JOBS} jobs from {N_CLIENTS} clients...")
     clients = [make_client(base, f"user{i}") for i in range(N_CLIENTS)]
@@ -138,7 +178,8 @@ def main():
     print(f"{done}/{N_JOBS} DONE, {results.count('FAILED')} FAILED, "
           f"{results.count('TIMEOUT')} TIMEOUT")
     print(f"end-to-end: {N_JOBS / dt:.1f} jobs/s over {dt:.1f}s "
-          f"({N_CLIENTS} clients, ViT-B/16 @224)")
+          f"({N_CLIENTS} clients, {SERVE_FAMILY} {SERVE_CONFIG} "
+          f"@{SERVE_INPUT})")
     server.shutdown()
     worker.stop()
 

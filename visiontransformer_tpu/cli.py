@@ -190,7 +190,9 @@ def _build_parser():
     r.add_argument("--media-root", default="media")
     r.add_argument("--name", required=True)
     r.add_argument("--config", required=True,
-                   help="sweep config name, e.g. P16H768A12")
+                   help="sweep config name (e.g. P16H768A12) or ViT size "
+                        "preset (vit_b_16/vit_l_16/vit_h_14) for vitseg; "
+                        "encoder preset for conv families")
     r.add_argument("--num-classes", type=int, default=17)
     r.add_argument("--input-size", type=int, default=224)
     r.add_argument("--ckpt", default="",
@@ -506,13 +508,18 @@ def cmd_export_hlo(args) -> int:
 
 
 def cmd_register_model(args) -> int:
-    from visiontransformer_tpu.configs import sweep_by_name
+    from visiontransformer_tpu.configs import vit_config_by_name
     from visiontransformer_tpu.serve.store import JobStore
 
     # Validate the config early, before touching the DB: vitseg rows carry
-    # a sweep config name; conv-family rows carry an encoder preset.
+    # a sweep config name or a named size preset (vit_b_16/vit_l_16/
+    # vit_h_14); conv-family rows carry an encoder preset.
     if args.family == "vitseg":
-        sweep_by_name(args.config)
+        try:
+            vit_config_by_name(args.config)
+        except KeyError as exc:
+            print(f"error: {exc.args[0]}", file=sys.stderr)
+            return 1
     else:
         from visiontransformer_tpu.models.mit import MIT_PRESETS
         from visiontransformer_tpu.models.unet import ENCODER_PRESETS

@@ -138,6 +138,35 @@ def sweep_by_name(name: str) -> SweepEntry:
     raise KeyError(f"unknown sweep config {name!r}")
 
 
+# Standard ViT size presets beyond the reference's sweep (ViT paper table 1
+# naming). vit_l_16 is the serving stretch target (BASELINE.json config 5:
+# "dynamic-batched TPU worker with ViT-L/16"). Unlike the sweep rows — which
+# pin intermediate_size=3072 regardless of width, mirroring the reference's
+# ViTConfig instantiation (reference model/CE/classes.py:228) — these use
+# the paper's 4*hidden MLP widths.
+VIT_PRESETS = {
+    "vit_b_16": dict(patch_size=16, hidden_size=768, num_hidden_layers=12,
+                     num_attention_heads=12, intermediate_size=3072),
+    "vit_l_16": dict(patch_size=16, hidden_size=1024, num_hidden_layers=24,
+                     num_attention_heads=16, intermediate_size=4096),
+    "vit_h_14": dict(patch_size=14, hidden_size=1280, num_hidden_layers=32,
+                     num_attention_heads=16, intermediate_size=5120),
+}
+
+
+def vit_config_by_name(name: str, **overrides) -> ViTConfig:
+    """ViTConfig from a sweep row name ("P16H768A12") or a named size
+    preset ("vit_b_16" / "vit_l_16" / "vit_h_14")."""
+    try:
+        return sweep_by_name(name).vit_config(**overrides)
+    except KeyError:
+        pass
+    if name in VIT_PRESETS:
+        return ViTConfig(**{**VIT_PRESETS[name], **overrides})
+    known = [e.name for e in SWEEP_CONFIGS] + sorted(VIT_PRESETS)
+    raise KeyError(f"unknown ViT config {name!r}; known: {known}")
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Training hyperparameters.

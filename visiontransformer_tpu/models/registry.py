@@ -109,8 +109,20 @@ def resolve_model(family: str, config_name: str, *, num_classes: int,
 
     fam = get_model_family(family)
     if family == "vitseg":
-        entry = sweep_by_name(config_name)
-        cfg = ViTSegConfig(vit=entry.vit_config(image_size=input_size),
+        try:
+            vit_cfg = sweep_by_name(config_name).vit_config(
+                image_size=input_size)
+        except KeyError:
+            # Named size presets (vit_b_16 / vit_l_16 / vit_h_14) beyond
+            # the reference's sweep — the ViT-L/16 serving stretch config.
+            from visiontransformer_tpu.configs import vit_config_by_name
+
+            vit_cfg = vit_config_by_name(config_name, image_size=input_size)
+        if input_size % vit_cfg.patch_size:
+            raise ValueError(
+                f"input_size {input_size} is not divisible by "
+                f"{config_name}'s patch size {vit_cfg.patch_size}")
+        cfg = ViTSegConfig(vit=vit_cfg,
                            num_classes=num_classes,
                            compute_dtype=compute_dtype)
     else:
