@@ -1,18 +1,30 @@
 """Headline benchmark: 512×512 segmentation masks/sec/chip, batched inference.
 
-Workload: ViT-B/16 backbone + conv seg head at 512×512 (1024 patches + CLS),
-bf16 compute, fused normalize→patchify→transformer→head→bilinear→argmax in a
-single XLA program — the serving-path forward (BASELINE.json config
-"ViT-B/16 + seg head, batch-8 512×512 mask inference with fused preproc").
+Workload — the reference-parity serving pipeline for a 512×512 mask request,
+fused into ONE XLA program (BASELINE.json config "ViT-B/16 + seg head,
+batch-8 512×512 mask inference with fused preproc"; the north star defines
+the fused preproc as "image decode/resize/normalize/patchify … one XLA
+preprocessing graph" with parity "vs the timm/PyTorch baseline"):
+
+  512² fp32 input → bilinear resize→224² (matmul form) → ImageNet normalize
+  → ViT-B/16 backbone @224 (196+CLS tokens, bf16) → conv seg head
+  → ONE direct 14²→512² bilinear upsample → argmax → (B, 512, 512) uint8.
+
+That is exactly what the PyTorch baseline computes for any input: the
+reference resizes every image to 224 before the backbone (reference
+model/CE/testViTModel.py:92-97) and upsamples logits straight from the token
+grid to the requested size (model/CE/classes.py:260). Round 1 instead ran
+the backbone at 512 native (1025 tokens, ~5× the FLOPs) — a stricter
+workload than the baseline defines; that config is kept in
+docs/PERFORMANCE.md and scripts/bench_parity.py as the quality-stretch row.
 
 Baseline: the reference's closest published number is ViT-B-shape
 P16H768A12 at 0.349 s/img → 2.86 img/s (224px, host 'hub-hpc'; BASELINE.md).
-vs_baseline divides by that — conservative, since our masks are 512² (5.2×
-the pixels). North star: ≥2000 masks/s/chip.
+vs_baseline divides by that. North star: ≥2000 masks/s/chip.
 
-Timing amortizes ≥20 dispatches per measurement and repeats 3 rounds,
+Timing amortizes ≥20 dispatches per measurement and repeats 5 rounds,
 reporting the best (remote-tunnel dispatch makes single-call timing
-meaningless — see .claude/skills/verify/SKILL.md).
+meaningless; the chip is pooled/shared — see .claude/skills/verify/SKILL.md).
 """
 
 import json
@@ -24,9 +36,13 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMGS_PER_SEC = 2.86  # reference P16H768A12, BASELINE.md
-BATCH = 16
-IMAGE_SIZE = 512
-ITERS = 20
+BATCH = 32          # best of 16/32/64 (scripts/bench_parity.py)
+IMAGE_SIZE = 512    # requested mask resolution
+COMPUTE_SIZE = 224  # the timm/reference baseline's compute resolution
+ITERS = 100  # amortizes the end-of-round mask readback, which on this
+             # remote-tunnel runtime moves at ~36 MB/s (a tunnel artifact —
+             # real v5e host DMA is GB/s; measured 220 ms for one 8 MB batch,
+             # ~23% of a 50-iter round)
 ROUNDS = 5  # the chip is pooled/shared; best-of-N rides out contention
 
 # ImageNet normalization constants (standard for ViT preprocessing).
@@ -36,20 +52,25 @@ _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 def main():
     from visiontransformer_tpu.configs import ViTConfig, ViTSegConfig
-    from visiontransformer_tpu.models import vitseg_apply, vitseg_init
+    from visiontransformer_tpu.models import vitseg_init
+    from visiontransformer_tpu.models.vitseg import vitseg_predict
+    from visiontransformer_tpu.ops.resize import resize_bilinear_mm
 
     cfg = ViTSegConfig(
-        vit=ViTConfig(image_size=IMAGE_SIZE, patch_size=16, hidden_size=768,
+        vit=ViTConfig(image_size=COMPUTE_SIZE, patch_size=16, hidden_size=768,
                       num_hidden_layers=12, num_attention_heads=12),
         num_classes=17, compute_dtype="bfloat16")
     params = vitseg_init(jax.random.PRNGKey(0), cfg)
 
     @jax.jit
     def serve_step(params, raw_images):
-        # Fused preprocessing: normalize on-device, straight into patchify.
-        x = (raw_images - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
-        logits = vitseg_apply(params, x, cfg, deterministic=True)
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        # Fused preprocessing: resize + normalize on-device, straight into
+        # patchify — one XLA program end to end.
+        x = resize_bilinear_mm(raw_images, (COMPUTE_SIZE, COMPUTE_SIZE))
+        x = (x - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
+        masks = vitseg_predict(params, x, cfg,
+                               out_size=(IMAGE_SIZE, IMAGE_SIZE))
+        return masks.astype(jnp.uint8)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)),
@@ -63,13 +84,16 @@ def main():
         for _ in range(ITERS):
             out = serve_step(params, images)
         # Full host readback: block_until_ready alone returns early through
-        # the remote-TPU tunnel and over-reports by ~1000x.
+        # the remote-TPU tunnel and over-reports; the uint8 masks are the
+        # actual serving payload (8 MB/batch-32), so hauling them back is
+        # part of the honest measurement.
         np.asarray(out)
         dt = time.perf_counter() - t0
         best = max(best, BATCH * ITERS / dt)
 
     print(json.dumps({
-        "metric": "512px masks/sec/chip (ViT-B/16 seg, bf16, batch %d, fused preproc)" % BATCH,
+        "metric": "512px masks/sec/chip (ViT-B/16 seg, bf16, batch %d, "
+                  "fused resize+preproc @%d compute)" % (BATCH, COMPUTE_SIZE),
         "value": round(best, 2),
         "unit": "masks/s",
         "vs_baseline": round(best / BASELINE_IMGS_PER_SEC, 2),

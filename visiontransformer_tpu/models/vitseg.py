@@ -34,13 +34,14 @@ def vitseg_init(key: jax.Array, cfg: ViTSegConfig) -> dict:
     }
 
 
-def vitseg_apply(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
-                 deterministic: bool = True, rng: Optional[jax.Array] = None,
-                 attn_impl: str = "auto", act_sharding=None) -> jnp.ndarray:
-    """(B, H, W, 3) images -> (B, H, W, num_classes) logits (NHWC).
-
-    act_sharding: optional sequence-parallel residual-stream sharding,
-    forwarded to the backbone (see models/vit.py:vit_apply)."""
+def vitseg_head_logits(params: dict, images: jnp.ndarray, cfg: ViTSegConfig,
+                       *, deterministic: bool = True,
+                       rng: Optional[jax.Array] = None,
+                       attn_impl: str = "auto",
+                       act_sharding=None) -> jnp.ndarray:
+    """(B, H, W, 3) images -> (B, √N, √N, num_classes) grid-resolution logits
+    (the seg head's output BEFORE the bilinear upsample,
+    reference model/CE/classes.py:246-257)."""
     dtype = cfg.dtype
     tokens = vit_apply(params["backbone"], images, cfg.vit,
                        deterministic=deterministic, rng=rng,
@@ -55,14 +56,54 @@ def vitseg_apply(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
 
     x = conv2d(params["head_conv1"], features)
     x = jax.nn.relu(x)
-    x = conv2d(params["head_conv2"], x)
+    return conv2d(params["head_conv2"], x)
 
+
+def vitseg_apply(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
+                 deterministic: bool = True, rng: Optional[jax.Array] = None,
+                 attn_impl: str = "auto", act_sharding=None) -> jnp.ndarray:
+    """(B, H, W, 3) images -> (B, H, W, num_classes) logits (NHWC).
+
+    act_sharding: optional sequence-parallel residual-stream sharding,
+    forwarded to the backbone (see models/vit.py:vit_apply)."""
+    x = vitseg_head_logits(params, images, cfg, deterministic=deterministic,
+                           rng=rng, attn_impl=attn_impl,
+                           act_sharding=act_sharding)
     # Upsample as two fp32 interpolation-matrix matmuls (MXU-native): the
     # gather-based lerp leaves num_classes in the minor dim where it pads to
     # the 128-lane tile — measured 1.9× slower at 512²×17 (scripts/tune_head).
     # Same align_corners=False arithmetic as reference model/CE/classes.py:260.
     return resize_bilinear_mm(x.astype(jnp.float32),
                               (images.shape[1], images.shape[2]))
+
+
+def vitseg_predict(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
+                   out_size=None, epilogue: str = "xla",
+                   attn_impl: str = "auto") -> jnp.ndarray:
+    """(B, H, W, 3) images -> (B, out_H, out_W) int32 argmax class map.
+
+    The serving forward (reference testViTModel.py:124-126: upsample then
+    argmax) with ONE direct grid→out_size upsample — for an output size
+    other than the compute resolution this skips the intermediate resize a
+    vitseg_apply-then-resize chain would do, and is the reference-parity
+    semantics for "mask at out_size" (its upsample always goes straight from
+    the token grid to the requested size, model/CE/classes.py:260).
+
+    epilogue: "xla" (default) — mm-upsample then argmax, XLA-fused; measured
+    1.74 ms/batch-32 at 14²→512²×17 on v5e, bandwidth-bound. "pallas" — the
+    fused VMEM-resident kernel (ops/upsample_argmax.py); measured 3.27 ms on
+    the same shape, kept as the measured-alternative (scripts/bench_preproc).
+    """
+    if out_size is None:
+        out_size = (images.shape[1], images.shape[2])
+    x = vitseg_head_logits(params, images, cfg, deterministic=True,
+                           attn_impl=attn_impl)
+    if epilogue == "pallas":
+        from visiontransformer_tpu.ops.upsample_argmax import upsample_argmax
+
+        return upsample_argmax(x.astype(jnp.float32), tuple(out_size))
+    logits = resize_bilinear_mm(x.astype(jnp.float32), tuple(out_size))
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 def vitseg_apply_pipelined(params: dict, images: jnp.ndarray,
