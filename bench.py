@@ -22,7 +22,7 @@ Baseline: the reference's closest published number is ViT-B-shape
 P16H768A12 at 0.349 s/img → 2.86 img/s (224px, host 'hub-hpc'; BASELINE.md).
 vs_baseline divides by that. North star: ≥2000 masks/s/chip.
 
-Timing amortizes ≥20 dispatches per measurement and repeats 5 rounds,
+Timing amortizes 100 dispatches per measurement and repeats 5 rounds,
 reporting the best (remote-tunnel dispatch makes single-call timing
 meaningless; the chip is pooled/shared — see .claude/skills/verify/SKILL.md).
 """

@@ -602,3 +602,64 @@ VALUES ('legacy', 5, 32, 'P16H512A8');
     (tmp_path / "x.ckpt").write_bytes(b"")
     with pytest.raises(ValueError, match="vitseg family only"):
         ModelRunner(bad, compute_dtype="float32", buckets=(1,))
+
+
+def test_mask_png_is_indexed_palette_with_colorize_colors(tmp_path):
+    """Worker masks are indexed-palette PNGs (one byte/pixel, measured ~10x
+    cheaper to encode than the RGB expansion) that decode to EXACTLY the
+    colors colorize() would have produced — the wire format changed, the
+    rendered mask did not."""
+    from visiontransformer_tpu.evaluation.visualize import (
+        class_color_table,
+        colorize,
+    )
+    import visiontransformer_tpu.models.registry as registry_mod
+    from visiontransformer_tpu.configs import SweepEntry
+
+    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
+    mid = store.register_model("palette", num_classes=4, config_name="X",
+                               input_size=32)
+    orig = registry_mod.sweep_by_name
+    registry_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    img = tmp_path / "in.png"
+    Image.fromarray(np.full((32, 32, 3), 90, np.uint8)).save(img)
+    worker = InferenceWorker(store, compute_dtype="float32",
+                             poll_interval=0.005, linger=0.0)
+    try:
+        job = store.create_job(None, mid, str(img))
+        worker.start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            detail = store.get_job(job["id"])
+            if detail["status"] in ("DONE", "FAILED"):
+                break
+            time.sleep(0.1)
+        assert detail["status"] == "DONE", detail
+
+        png = Image.open(detail["mask_image"])
+        assert png.mode == "P"  # indexed palette, not RGB
+        indices = np.asarray(png)
+        rendered = np.asarray(png.convert("RGB"))
+        table = class_color_table(None, 4)
+        np.testing.assert_array_equal(rendered, colorize(indices, table))
+    finally:
+        worker.stop()
+        registry_mod.sweep_by_name = orig
+
+
+def test_serve_cli_args_reach_server_parser():
+    """Every flag cli.py:cmd_serve forwards must exist in the server's own
+    parser (regression: `serve --mesh 8` crashed with 'unrecognized
+    arguments' because main() read args.mesh without defining --mesh)."""
+    from visiontransformer_tpu.serve.server import build_arg_parser
+
+    args = build_arg_parser().parse_args(
+        ["--host", "127.0.0.1", "--port", "0", "--db", ":memory:",
+         "--media-root", "/tmp/m", "--no-worker", "--no-warmup",
+         "--mesh", "4,2", "--compilation-cache", "/tmp/jaxcache"])
+    assert args.mesh == "4,2"
+    assert args.compilation_cache == "/tmp/jaxcache"
+    assert args.no_worker and args.no_warmup
+    # defaults keep the worker on and the cache off
+    d = build_arg_parser().parse_args([])
+    assert d.mesh is None and d.compilation_cache is None and not d.no_worker

@@ -132,9 +132,15 @@ def _build_parser():
     s.add_argument("--db", default="serving.db")
     s.add_argument("--media-root", default="media")
     s.add_argument("--no-worker", action="store_true")
+    s.add_argument("--no-warmup", action="store_true",
+                   help="skip pre-compiling batch buckets at model load "
+                        "(faster startup, slower first jobs)")
     s.add_argument("--mesh", default=None,
                    help="shard inference batches over a dp device mesh, "
                         "e.g. --mesh 8 (multi-chip serving)")
+    s.add_argument("--compilation-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache: warm restarts "
+                        "skip the multi-bucket model compile")
 
     v = sub.add_parser("convert",
                        help="convert a reference PyTorch-Lightning .ckpt "
@@ -432,7 +438,10 @@ def cmd_serve(args) -> int:
     sys.argv = ["serve", "--host", args.host, "--port", str(args.port),
                 "--db", args.db, "--media-root", args.media_root] + (
                     ["--no-worker"] if args.no_worker else []) + (
-                    ["--mesh", args.mesh] if args.mesh else [])
+                    ["--no-warmup"] if args.no_warmup else []) + (
+                    ["--mesh", args.mesh] if args.mesh else []) + (
+                    ["--compilation-cache", args.compilation_cache]
+                    if args.compilation_cache else [])
     serve_main()
     return 0
 

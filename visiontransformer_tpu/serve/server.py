@@ -595,10 +595,10 @@ def create_server(store: JobStore, *, host: str = "127.0.0.1", port: int = 0,
     return server, app
 
 
-def main():  # pragma: no cover - manual entry point
+def build_arg_parser():
+    """CLI for the serving platform (also reached via
+    `python -m visiontransformer_tpu serve`, cli.py:cmd_serve)."""
     import argparse
-
-    from visiontransformer_tpu.serve.worker import InferenceWorker
 
     parser = argparse.ArgumentParser(description="TPU serving platform")
     parser.add_argument("--host", default="0.0.0.0")
@@ -616,7 +616,26 @@ def main():  # pragma: no cover - manual entry point
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip pre-compiling batch buckets at model "
                              "load (faster startup, slower first jobs)")
-    args = parser.parse_args()
+    parser.add_argument("--mesh", default=None,
+                        help="shard inference batches over a dp device "
+                             "mesh, e.g. --mesh 8 (multi-chip serving)")
+    parser.add_argument("--compilation-cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache: warm "
+                             "restarts skip the multi-bucket model compile "
+                             "(the dominant cold-start cost)")
+    return parser
+
+
+def main():  # pragma: no cover - manual entry point
+    from visiontransformer_tpu.serve.worker import InferenceWorker
+
+    args = build_arg_parser().parse_args()
+    if args.compilation_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     store = JobStore(args.db, media_root=args.media_root)
     if not store.list_models():

@@ -159,6 +159,12 @@ class JobStore:
         if conn is None:
             conn = sqlite3.connect(self.path)
             conn.execute("PRAGMA journal_mode=WAL")
+            # WAL + NORMAL: commits skip the per-transaction fsync (the WAL
+            # is synced at checkpoints). Crash-safe against application
+            # crashes — an OS/power crash can lose the most recent commits
+            # but never corrupts — the right trade for a job queue whose
+            # worker already requeues stale PROCESSING rows at startup.
+            conn.execute("PRAGMA synchronous=NORMAL")
             conn.execute("PRAGMA busy_timeout=5000")
             self._local.conn = conn
         return _LockedConn(conn, threading.Lock())
