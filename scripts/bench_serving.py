@@ -6,7 +6,7 @@ concurrent HTTP clients: register/login, multipart job submit, poll until
 DONE. Reports jobs/s over the steady-state window.
 
 Round-2 numbers with THIS harness (256 jobs, submit->DONE for every job):
-11.8 jobs/s full stack / 35.1 jobs/s worker-only on the single-core host
+23.2 jobs/s full stack / 41.9 jobs/s worker-only on the single-core host
 (docs/PERFORMANCE.md "End-to-end serving"). The raw model throughput is far
 higher; end-to-end is host-CPU-bound.
 
