@@ -330,8 +330,9 @@ class InferenceWorker:
         # vs ~3 ms per 224² mask on the serving host). compress_level=1:
         # flat-colored masks are already tiny at level 1; level 6 costs ~3×
         # the CPU for a few hundred bytes. Falls back to RGB above 256
-        # classes (PNG palettes cap at 256 entries).
-        if runner.cfg.num_classes <= 256:
+        # classes (PNG palettes cap at 256 entries). Keyed off color_table
+        # (num_classes rows) — the only palette contract a runner must carry.
+        if len(runner.color_table) <= 256:
             img = Image.fromarray(mask.astype(np.uint8), mode="P")
             img.putpalette(runner.color_table.astype(np.uint8).tobytes())
             img.save(mask_path, compress_level=1)
