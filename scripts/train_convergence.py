@@ -68,7 +68,11 @@ def main(task: str):
     ds_cls = PAEDBinaryDataset if binary else CESegmentationDataset
     probe = ds_cls(img_dir, mask_dir, image_size=224)
     train_f, val_f, test_f = train_val_test_split(probe.images)
-    mk = lambda sub: ds_cls(img_dir, mask_dir, image_size=224, subset=sub)
+    # cache=True: decoded samples are ~0.7 MB each at 224² and the synthetic
+    # set is small — removes the per-epoch re-decode entirely (the dominant
+    # epoch cost on this single-core host, docs/PERFORMANCE.md).
+    mk = lambda sub: ds_cls(img_dir, mask_dir, image_size=224, subset=sub,
+                            cache=True)
     train_ds, val_ds, test_ds = mk(train_f), mk(val_f), mk(test_f)
     print(f"{task}: {len(train_f)}/{len(val_f)}/{len(test_f)} "
           "train/val/test", flush=True)
@@ -138,6 +142,10 @@ def main(task: str):
         csv_path = evaluate_model(state.params, seg_cfg, entry, test_ds,
                                   output_dir=eval_out, batch_size=4,
                                   num_batches=10**9)
+        # Keep the reference-schema per-image CSV with the run artifacts —
+        # it is what compareModels consumes (evaluation/compare.py).
+        shutil.copy(csv_path,
+                    os.path.join(out_dir, os.path.basename(csv_path)))
         with open(csv_path) as f:
             rows = list(csv.DictReader(f))
         acc = np.mean([float(r["Accuracy"]) for r in rows])
@@ -151,6 +159,18 @@ def main(task: str):
         summary["test"]["loss"] = round(float(test_metrics["loss"]), 4)
 
     shutil.copy(logger.path, os.path.join(out_dir, "metrics.csv"))
+    # Optional trained-checkpoint keep (CONV_SAVE_CKPT=<dir>): the sweep
+    # demo and compare report want the trained params back; checkpoints are
+    # too large to commit, so they land outside the repo.
+    if os.environ.get("CONV_SAVE_CKPT"):
+        from visiontransformer_tpu.ckpt.io import save_checkpoint
+
+        ckpt_dir = os.path.join(os.environ["CONV_SAVE_CKPT"],
+                                os.environ.get("CONV_TAG", task))
+        os.makedirs(ckpt_dir, exist_ok=True)
+        path = save_checkpoint(ckpt_dir, {"params": state.params},
+                               epoch=MAX_EPOCHS - 1, step=int(state.step))
+        summary["checkpoint"] = path
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2), flush=True)
