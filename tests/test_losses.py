@@ -140,3 +140,35 @@ def test_paed_multiclass_matches_oracle(rng, class_penalty):
     got = float(paed_loss_multiclass_soft(jnp.asarray(msk), jnp.asarray(pred),
                                           class_penalty=class_penalty))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-7)
+
+
+def test_paed_anchored_task(rng):
+    """CE-anchored multiclass PAED task: loss decomposes into its parts,
+    the hard (argmax) IoU metric is well-formed, and gradients flow."""
+    import jax
+
+    from visiontransformer_tpu.configs import ViTConfig, ViTSegConfig
+    from visiontransformer_tpu.models.vitseg import vitseg_init
+    from visiontransformer_tpu.train.tasks import get_task
+
+    vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                    num_hidden_layers=1, num_attention_heads=2,
+                    intermediate_size=64)
+    cfg = ViTSegConfig(vit=vit, num_classes=3)
+    params = vitseg_init(jax.random.PRNGKey(0), cfg)
+    batch = {
+        "image": jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32),
+        "mask": jnp.asarray(rng.integers(0, 3, (2, 32, 32)), jnp.int32),
+    }
+    fn = get_task("paed_anchored")
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda p: fn(p, batch, cfg, deterministic=True), has_aux=True)(params)
+
+    np.testing.assert_allclose(float(loss),
+                               float(metrics["ce"]) + float(metrics["paed"]),
+                               rtol=1e-6)
+    assert 0.0 <= float(metrics["hard_iou"]) <= 1.0
+    assert 0.0 <= float(metrics["iou"]) <= 1.0
+    # The CE anchor keeps gradients alive even where the PAED term saturates.
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0.0

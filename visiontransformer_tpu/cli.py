@@ -49,7 +49,7 @@ def _build_parser():
     _add_data_args(t)
     t.add_argument("--task", default="ce",
                    choices=["ce", "smp_multiclass", "paed_multiclass",
-                            "paed_binary"])
+                            "paed_anchored", "paed_binary"])
     t.add_argument("--model", default="vitseg",
                    choices=MODEL_FAMILY_CHOICES)
     t.add_argument("--config", default="P16H1024A16",

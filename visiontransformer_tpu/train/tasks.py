@@ -120,6 +120,40 @@ def paed_multiclass_loss_fn(params, batch, cfg, *,
     return loss, {"loss": loss, "iou": iou}
 
 
+def paed_anchored_loss_fn(params, batch, cfg, *,
+                          rng: Optional[jax.Array] = None,
+                          deterministic: bool = False,
+                          apply_fn=vitseg_apply):
+    """CE-anchored multiclass PAED: loss = CE + 1.0·paed_multiclass_soft.
+
+    The reference's pure-PAED multiclass recipe (model/PAED/classes.py:
+    460-467) is degenerate — the smoothed-|Δ| objective collapses to ~0 by
+    matching the GT in blurred space while argmax accuracy stays at chance
+    (measured, examples/convergence/paed_multiclass/). This variant keeps
+    the PAED term as an edge-aware regularizer anchored by the CE loss the
+    reference's own CE flavor uses (model/CE/classes.py:280), and monitors
+    both the reference's soft IoU (classes.py:430-447 — reported for
+    comparability) and a hard argmax mean IoU that cannot hide collapse."""
+    images, masks = batch["image"], batch["mask"]
+    target = _resize_target(masks, images.shape[1])
+    logits = apply_fn(params, images, cfg, deterministic=deterministic,
+                      rng=rng)
+    ce = cross_entropy_loss(logits, target)
+    probs = jax.nn.softmax(logits, axis=-1)
+    preds = jnp.argmax(probs, axis=-1)
+    one_hot = jax.nn.one_hot(target, cfg.num_classes, dtype=jnp.float32)
+    paed = paed_loss_multiclass_soft(one_hot, probs)
+    loss = ce + paed
+    tp, fp, fn, _ = multiclass_confusion_stats(preds, target,
+                                               cfg.num_classes)
+    union = tp + fp + fn
+    hard_iou = (jnp.where(union > 0, tp / jnp.maximum(union, 1), 0.0).sum()
+                / jnp.maximum((union > 0).sum(), 1))
+    return loss, {"loss": loss, "ce": ce, "paed": paed,
+                  "iou": soft_iou_score(preds, target, cfg.num_classes),
+                  "hard_iou": hard_iou}
+
+
 def paed_binary_loss_fn(params, batch, cfg, *,
                         rng: Optional[jax.Array] = None,
                         deterministic: bool = False,
@@ -162,6 +196,7 @@ TASKS = {
     "ce": ce_loss_fn,
     "smp_multiclass": smp_multiclass_loss_fn,
     "paed_multiclass": paed_multiclass_loss_fn,
+    "paed_anchored": paed_anchored_loss_fn,
     "paed_binary": paed_binary_loss_fn,
 }
 
