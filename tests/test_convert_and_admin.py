@@ -213,3 +213,16 @@ def test_register_model_cli_accepts_mit_and_rejects_unknown(tmp_path):
     rows = JobStore(db, media_root=str(tmp_path / "media")).list_models()
     assert [r["name"] for r in rows] == ["sf-mit"]
     assert rows[0]["config_name"] == "mit_b0"
+
+
+def test_cli_doctor(capsys):
+    """doctor reports backend/devices/native-lib and exits 0 (forced CPU)."""
+    import json
+
+    from visiontransformer_tpu.cli import main as cli_main
+
+    assert cli_main(["doctor", "--cpu"]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["backend"] == "cpu"
+    assert report["jit_smoke"] == "ok"
+    assert "native_lib" in report

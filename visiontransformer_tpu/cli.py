@@ -214,6 +214,10 @@ def _build_parser():
                         "merged per layer (~1.2x at r=16, near-lossless on "
                         "trained models; docs/PERFORMANCE.md)")
 
+    d = sub.add_parser("doctor", help="environment / runtime diagnostic")
+    d.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (skip TPU probing)")
+
     g = sub.add_parser("synth", help="generate a synthetic dataset")
     g.add_argument("--kind", choices=["multiclass", "binary"],
                    default="multiclass")
@@ -575,6 +579,48 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """One-shot environment report: backend, devices, native lib, caches.
+
+    The reference has no equivalent (its failure mode is a stack trace deep
+    inside torch/Django); on this runtime the common misconfigurations are
+    subtle — PYTHONPATH losing the PJRT plugin, env-var-only platform
+    overrides being ignored, a missing native .so silently falling back to
+    Python (CLAUDE.md) — so the framework ships a diagnostic."""
+    import json as _json
+    import platform as _platform
+
+    report = {"python": sys.version.split()[0],
+              "platform": _platform.platform()}
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    report["jax"] = jax.__version__
+    try:
+        devices = jax.devices()
+        report["backend"] = devices[0].platform
+        report["devices"] = len(devices)
+        report["device_kinds"] = sorted({d.device_kind for d in devices})
+    except Exception as exc:  # backend init failure is the report, not a crash
+        report["backend_error"] = f"{type(exc).__name__}: {exc}"
+    report["compilation_cache_dir"] = (
+        jax.config.jax_compilation_cache_dir or "<unset>")
+
+    from visiontransformer_tpu import native
+
+    report["native_lib"] = "loaded" if native.available() else \
+        "unavailable (Python fallbacks active; run `make -C native`)"
+    if "backend_error" not in report:
+        import jax.numpy as jnp
+
+        x = jnp.arange(8.0)
+        ok = float(jax.jit(lambda v: (v * v).sum())(x)) == 140.0
+        report["jit_smoke"] = "ok" if ok else "WRONG RESULT"
+    print(_json.dumps(report, indent=2))
+    return 0 if "backend_error" not in report else 1
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval-sweep": cmd_eval_sweep,
@@ -586,6 +632,7 @@ COMMANDS = {
     "export-hlo": cmd_export_hlo,
     "register-model": cmd_register_model,
     "synth": cmd_synth,
+    "doctor": cmd_doctor,
 }
 
 
