@@ -87,6 +87,38 @@ def test_resume_params_only_checkpoint_keeps_fresh_moments(rng, tmp_path):
     assert all(float(np.abs(np.asarray(m)).sum()) == 0 for m in mus)
 
 
+def test_restore_is_shard_aware_under_mesh(rng, tmp_path):
+    """Restoring under an FSDP mesh lands every leaf directly on its target
+    sharding — Orbax reads per-device shards from the zarr store; no leaf is
+    materialized fully replicated (VERDICT r2 item 6). Exercises the PARTIAL
+    path (target has a key absent on disk) — the path that used to
+    host-materialize everything."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from visiontransformer_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh((8, 1))
+    sh = NamedSharding(mesh, P("data"))
+    big = jax.device_put(
+        jnp.asarray(rng.random((16, 64), np.float32)), sh)
+    assert not big.sharding.is_fully_replicated
+    save_checkpoint(str(tmp_path), {"params": {"w": big}}, epoch=0, step=1)
+
+    target_big = jax.device_put(jnp.zeros((16, 64), jnp.float32), sh)
+    restored = restore_checkpoint(
+        get_latest_checkpoint(str(tmp_path)),
+        {"params": {"w": target_big},
+         "opt_state": {"mu": target_big}})  # absent on disk -> partial path
+
+    got = restored["params"]["w"]
+    assert got.sharding == sh and not got.sharding.is_fully_replicated
+    # Each device holds exactly its 1/8 row-shard, never the full array.
+    assert got.addressable_shards[0].data.shape == (2, 64)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(big))
+    assert restored["opt_state"]["mu"] is target_big  # kept, not restored
+
+
 def test_partial_restore_new_ckpt_old_target(rng, tmp_path):
     """The reverse direction: a {params, opt_state, step} checkpoint loads
     onto a params-only target (eval-only consumers)."""

@@ -30,67 +30,80 @@ def save_checkpoint(directory: str, tree: Any, *, epoch: int, step: int) -> str:
     return path
 
 
-def _place_like(target_leaf, raw_leaf):
-    """Give a freshly-restored array the target leaf's dtype and placement
-    (checkpoints restored onto a mesh must land sharded, not replicated)."""
+def _abstract_like(leaf):
+    """ShapeDtypeStruct carrying the target leaf's shape/dtype/sharding —
+    the form Orbax restores DIRECTLY onto (each device reads only its own
+    shard from disk; no leaf is ever fully materialized on host)."""
     import jax
 
-    arr = np.asarray(raw_leaf)
-    target_shape = getattr(target_leaf, "shape", arr.shape)
-    if tuple(arr.shape) != tuple(target_shape):
-        # Same tree structure, different tensor shapes — e.g. resuming a
-        # 5-class run from a 17-class checkpoint. Orbax's strict path
-        # raised on this; the partial path must not silently accept it.
-        raise ValueError(
-            f"checkpoint leaf shape {tuple(arr.shape)} does not match the "
-            f"target's {tuple(target_shape)} — the checkpoint was written "
-            "by a different model configuration")
-    if hasattr(target_leaf, "dtype"):
-        arr = arr.astype(target_leaf.dtype)
-    if isinstance(target_leaf, jax.Array):
-        return jax.device_put(arr, target_leaf.sharding)
-    return arr
+    if isinstance(leaf, jax.Array):
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                    sharding=leaf.sharding)
+    arr = np.asarray(leaf)
+    return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+
+
+def _disk_keys(path: str):
+    """Top-level keys of the on-disk pytree, from metadata only (no reads)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+    return list(meta.keys())
 
 
 def restore_checkpoint(path: str, target: Optional[Any] = None, *,
                        partial: bool = True) -> Any:
     """Restore a checkpoint onto ``target``.
 
-    Orbax's StandardCheckpointer demands an exact structure match; with
+    Every restore is shard-aware: target leaves' shardings are forwarded to
+    Orbax as abstract arrays, so under an FSDP/tensor-parallel mesh each
+    device reads only its own shard from the zarr store — no leaf is ever
+    fully replicated on host (tests/test_resume_optstate.py asserts this
+    under an 8-device mesh).
+
+    Orbax's strict path demands an exact structure match; with
     ``partial=True`` (default) dict-rooted targets are instead intersected
     with the on-disk tree at the top level: keys present on disk are
-    restored (placed like the target's leaves), keys absent on disk keep the
-    target's values. This lets new code that checkpoints
+    restored (to the target leaves' shardings/dtypes), keys absent on disk
+    keep the target's values. This lets new code that checkpoints
     {params, opt_state, step} load older params-only checkpoints and vice
     versa (the reference's Lightning resume is similarly tolerant of
     strict=False loads)."""
     import jax
 
     path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        if target is None:
+    if target is None:
+        with ocp.StandardCheckpointer() as ckptr:
             return ckptr.restore(path)
-        try:
+    if not (partial and isinstance(target, dict)):
+        with ocp.StandardCheckpointer() as ckptr:
             return ckptr.restore(path, target)
-        except ValueError:
-            if not (partial and isinstance(target, dict)):
-                raise
-            raw = ckptr.restore(path)
-    if not isinstance(raw, dict):
-        raise ValueError(
-            f"checkpoint at {path} is not a dict-rooted tree; cannot "
-            "partially restore onto the given target")
+
+    on_disk = set(_disk_keys(path))
     out = {}
-    for key, tval in target.items():
-        if key in raw:
+    with ocp.PyTreeCheckpointer() as ptc:
+        for key, tval in target.items():
+            if key not in on_disk:
+                out[key] = tval  # e.g. step/opt_state missing on old saves
+                continue
+            abs_sub = {key: jax.tree.map(_abstract_like, tval)}
             try:
-                out[key] = jax.tree.map(_place_like, tval, raw[key])
-            except (TypeError, ValueError):
+                restored = ptc.restore(path, args=ocp.args.PyTreeRestore(
+                    item=abs_sub,
+                    restore_args=ocp.checkpoint_utils.construct_restore_args(
+                        abs_sub),
+                    partial_restore=True))
+                out[key] = restored[key]
+            except (TypeError, ValueError) as e:
                 if key == "params":
-                    raise  # param-structure mismatch is never recoverable
+                    # Same tree structure, different tensor shapes — e.g.
+                    # resuming a 5-class run from a 17-class checkpoint.
+                    # Param mismatch is never recoverable.
+                    raise ValueError(
+                        f"checkpoint at {path} does not match the target "
+                        "model's parameter structure/shapes — it was "
+                        f"written by a different model configuration ({e})"
+                    ) from e
                 out[key] = tval  # e.g. opt_state from a different optimizer
-        else:
-            out[key] = tval
     return out
 
 

@@ -56,13 +56,20 @@ def stack_stage_params(layers: Sequence[dict]):
 
 
 def pipeline_apply(x: jnp.ndarray, stacked_layers, layer_fn: Callable,
-                   *, mesh: Mesh, n_microbatches: int) -> jnp.ndarray:
+                   *, mesh: Mesh, n_microbatches: int,
+                   rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Run ``layer_fn`` over the stacked layer params as an S-stage pipeline.
 
     x: (B, ...) activations (batch leading). stacked_layers: pytree with a
     leading layer axis L on every leaf. layer_fn(layer_params, x) -> x
-    applies ONE layer. Returns the (B, ...) output of the full L-layer stack,
-    replicated over "stage" and batch-sharded over "data".
+    applies ONE layer — or, when ``rng`` is given, layer_fn(layer_params, x,
+    layer_key) with a per-(layer, microbatch, data-shard) PRNG key for
+    dropout: keys are folded from (rng, global layer index, microbatch
+    index, data-shard index), so every dropout mask is independent across
+    layers/microbatches/shards (distribution matches the single-device
+    trainer; the bitstream is this schedule's own). Returns the (B, ...)
+    output of the full L-layer stack, replicated over "stage" and
+    batch-sharded over "data".
     """
     try:
         from jax import shard_map  # jax >= 0.8
