@@ -110,6 +110,86 @@ def test_vitseg_pipelined_matches_plain(eight_devices):
                                    rtol=1e-4, atol=1e-6)
 
 
+NODROP = ViTSegConfig(
+    vit=ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                  num_hidden_layers=4, num_attention_heads=4,
+                  intermediate_size=128, hidden_dropout_prob=0.0,
+                  attention_probs_dropout_prob=0.0),
+    num_classes=5)
+
+
+def _ce_batch(n=16):
+    r = np.random.default_rng(0)
+    return {"image": r.random((n, 32, 32, 3)).astype(np.float32),
+            "mask": r.integers(0, 5, (n, 32, 32)).astype(np.int32)}
+
+
+def test_pipeline_trainer_full_step_matches_single_device(eight_devices):
+    """`--pipeline S` is a REAL training mode: the full CE step (loss,
+    Adam update, ×2 gradient accumulation) through the Trainer on a
+    ("data","stage") mesh reproduces the single-device step — loss AND
+    updated params — with params/moments stored stage-sharded."""
+    from visiontransformer_tpu.configs import TrainConfig
+    from visiontransformer_tpu.train import Trainer
+
+    batch = _ce_batch()
+    tcfg = TrainConfig(batch_size=16, accumulate_grad_batches=2,
+                       early_stopping_monitor=None, learning_rate=1e-3)
+    ref_tr = Trainer(NODROP, tcfg, task="ce", use_mesh=False)
+    ref_state = ref_tr.init_state()
+    ref_state, ref_m = ref_tr.train_step(ref_state, batch,
+                                         jax.random.PRNGKey(1))
+
+    import dataclasses
+    pcfg = dataclasses.replace(tcfg, mesh_shape=(4, 2), pipeline_stages=2)
+    pipe_tr = Trainer(NODROP, pcfg, task="ce")
+    pipe_state = pipe_tr.init_state()
+    # storage really is stacked + stage-sharded (1/S weights per stage)
+    leaf = pipe_state.params["backbone"]["layers"]["mlp_in"]["kernel"]
+    assert leaf.shape[0] == 4 and not leaf.sharding.is_fully_replicated
+    pipe_state, pipe_m = pipe_tr.train_step(pipe_state, batch,
+                                            jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(pipe_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    # updated encoder params match the single-device run layer-for-layer
+    stacked = pipe_state.params["backbone"]["layers"]
+    for i, ref_layer in enumerate(ref_state.params["backbone"]["layers"]):
+        got = jax.tree.map(lambda a: np.asarray(a[i]), stacked)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref_layer)):
+            np.testing.assert_allclose(a, np.asarray(b), rtol=2e-4,
+                                       atol=1e-6)
+    # head (outside the pipeline) matches too
+    np.testing.assert_allclose(
+        np.asarray(pipe_state.params["head_conv1"]["kernel"]),
+        np.asarray(ref_state.params["head_conv1"]["kernel"]),
+        rtol=2e-4, atol=1e-6)
+
+
+def test_pipeline_trainer_with_dropout_trains(eight_devices):
+    """Training mode with the reference's dropout on: per-(layer,
+    microbatch, shard) keys thread through the stage ring; two steps run
+    and the loss stays finite."""
+    from visiontransformer_tpu.configs import TrainConfig
+    from visiontransformer_tpu.train import Trainer
+
+    tcfg = TrainConfig(batch_size=16, accumulate_grad_batches=1,
+                       early_stopping_monitor=None, mesh_shape=(2, 4),
+                       pipeline_stages=4, pipeline_microbatches=2)
+    tr = Trainer(TINY, tcfg, task="ce")
+    state = tr.init_state()
+    batch = _ce_batch()
+    state, m1 = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    state, m2 = tr.train_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert int(state.step) == 2
+    # dropout actually fired: same batch, different keys -> different losses
+    # would also hold without dropout (params moved); instead check the
+    # eval (deterministic) loss differs from the train loss at step 2.
+    ev = tr.eval_step(state.params, batch)
+    assert float(ev["loss"]) != float(m2["loss"])
+
+
 def test_pipeline_shape_errors(eight_devices):
     layers = _toy_layers(n=6)  # 6 layers don't divide over 4 stages
     x = jnp.zeros((12, 5, 16), jnp.float32)

@@ -71,6 +71,15 @@ def _build_parser():
                    help="sequence parallelism: token-shard the residual "
                         "stream over the tensor-parallel axis (needs a "
                         "dp,tp mesh with tp > 1)")
+    t.add_argument("--pipeline", type=int, default=1, metavar="S",
+                   help="GPipe pipeline parallelism (vitseg): run the "
+                        "encoder as S stages over a (data,stage) mesh; "
+                        "each stage stores 1/S of the weights and Adam "
+                        "moments. --mesh is then read as dp,S "
+                        "(default: all devices / S)")
+    t.add_argument("--pipeline-microbatches", type=int, default=None,
+                   help="in-flight microbatches per pipelined forward "
+                        "(default: S; bubble = (S-1)/(M+S-1))")
     t.add_argument("--multihost", action="store_true",
                    help="join a multi-process jax.distributed job and train "
                         "over the pod-wide mesh (auto-detected topology on "
@@ -303,6 +312,8 @@ def cmd_train(args) -> int:
         mesh_shape=_parse_mesh(args.mesh),
         fsdp=getattr(args, "fsdp", False),
         seq_parallel=getattr(args, "seq_parallel", False),
+        pipeline_stages=getattr(args, "pipeline", 1),
+        pipeline_microbatches=getattr(args, "pipeline_microbatches", None),
         **({"learning_rate": args.lr} if args.lr else {}))
 
     primary = True

@@ -216,6 +216,14 @@ class TrainConfig:
     # stream token-sharded over the TP axis so LayerNorm/dropout/residual
     # regions compute on N/tp tokens per device (models/vit.py act_sharding).
     seq_parallel: bool = False
+    # GPipe pipeline parallelism (vitseg only): run the encoder stack as an
+    # S-stage pipeline over a ("data", "stage") mesh — each stage stores 1/S
+    # of the transformer weights and Adam moments (parallel/pipeline.py).
+    # mesh_shape is then read as (dp, stages); stages must divide the layer
+    # count. pipeline_microbatches (default = stages) is the number of
+    # in-flight microbatches per forward; bubble = (S-1)/(M+S-1).
+    pipeline_stages: int = 1
+    pipeline_microbatches: Optional[int] = None
 
 
 CE_TRAIN_DEFAULTS = TrainConfig()

@@ -200,26 +200,38 @@ def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
 
 def vit_apply_pipelined(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
                         mesh, n_microbatches: int, attn_impl: str = "auto",
-                        dtype=jnp.float32) -> jnp.ndarray:
+                        dtype=jnp.float32, deterministic: bool = True,
+                        rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """vit_apply with the encoder layer stack run as a GPipe pipeline over
     the mesh's "stage" axis (parallel/pipeline.py): each stage holds 1/S of
     the transformer weights, activations hop stage-to-stage via ppermute.
 
+    params["layers"] may be the usual per-layer list (stacked here on the
+    fly) or an already-stacked pytree with a leading layer axis — the form
+    the pipeline Trainer stores stage-sharded (pipeline_param_shardings).
+
     Embedding / final LN stay outside the pipeline (replicated, GSPMD-
-    sharded over "data" like the rest of the model). Deterministic-only:
-    per-layer dropout rngs do not thread through the stage ring."""
+    sharded over "data" like the rest of the model). Training: per-layer
+    dropout keys are folded from (rng, layer, microbatch, data-shard)
+    inside the stage ring (parallel/pipeline.py:pipeline_apply) — same
+    distribution as the single-device trainer, schedule-specific bitstream."""
     from visiontransformer_tpu.parallel.pipeline import (
         pipeline_apply,
         stack_stage_params,
     )
 
-    x, _ = vit_embed(params, images, cfg, deterministic=True, rng=None,
-                     dtype=dtype)
+    x, rng = vit_embed(params, images, cfg, deterministic=deterministic,
+                       rng=rng, dtype=dtype)
 
-    def layer_fn(layer_params, y):
-        return _encoder_layer(layer_params, y, cfg, deterministic=True,
-                              rng=None, attn_impl=attn_impl)
+    def layer_fn(layer_params, y, layer_rng=None):
+        return _encoder_layer(layer_params, y, cfg,
+                              deterministic=deterministic,
+                              rng=layer_rng, attn_impl=attn_impl)
 
-    x = pipeline_apply(x, stack_stage_params(params["layers"]), layer_fn,
-                       mesh=mesh, n_microbatches=n_microbatches)
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        layers = stack_stage_params(layers)
+    x = pipeline_apply(x, layers, layer_fn, mesh=mesh,
+                       n_microbatches=n_microbatches,
+                       rng=None if deterministic else rng)
     return layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)

@@ -108,17 +108,22 @@ def vitseg_predict(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
 
 def vitseg_apply_pipelined(params: dict, images: jnp.ndarray,
                            cfg: ViTSegConfig, *, mesh, n_microbatches: int,
-                           attn_impl: str = "auto") -> jnp.ndarray:
+                           attn_impl: str = "auto",
+                           deterministic: bool = True,
+                           rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """vitseg_apply with the backbone's encoder stack pipeline-parallelized
     over the mesh's "stage" axis (parallel/pipeline.py). Head and upsample
-    run outside the pipeline, batch-sharded over "data". Deterministic
-    (inference / eval) only."""
+    run outside the pipeline, batch-sharded over "data". Supports training
+    (dropout keys thread through the stage ring — models/vit.py docstring);
+    signature-compatible with vitseg_apply so train/tasks.py drives it as
+    the Trainer's apply_fn in pipeline mode."""
     from visiontransformer_tpu.models.vit import vit_apply_pipelined
 
     dtype = cfg.dtype
     tokens = vit_apply_pipelined(params["backbone"], images, cfg.vit,
                                  mesh=mesh, n_microbatches=n_microbatches,
-                                 attn_impl=attn_impl, dtype=dtype)
+                                 attn_impl=attn_impl, dtype=dtype,
+                                 deterministic=deterministic, rng=rng)
 
     tokens = tokens[:, 1:, :]
     b = tokens.shape[0]

@@ -30,11 +30,27 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from visiontransformer_tpu.parallel.mesh import DATA_AXIS
 
 STAGE_AXIS = "stage"
+
+
+def pipeline_param_shardings(mesh: Mesh, params) -> dict:
+    """NamedSharding pytree for pipeline-mode params: leaves under a
+    "layers" key (the STACKED encoder layers, leading axis = layer) are
+    sharded over "stage" — each stage device stores 1/S of the transformer
+    weights, and by inheritance 1/S of the Adam moments (pipeline
+    model-memory scaling). Everything else (embeddings, final LN, heads)
+    replicates."""
+    def spec_for(path, leaf):
+        names = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if "layers" in names:
+            return NamedSharding(mesh, P(STAGE_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
 def create_pipeline_mesh(shape: Sequence[int],
@@ -92,15 +108,25 @@ def pipeline_apply(x: jnp.ndarray, stacked_layers, layer_fn: Callable,
                          f"data axis ({dp} devices)")
     layers_per_stage = n_layers // n_stages
 
-    def stage_fn(xm, local_layers):
+    def stage_fn(xm, local_layers, key):
         # xm: (M, b_local, ...) this data-shard's microbatches;
-        # local_layers: leaves (L/S, ...) — this stage's layer slice.
+        # local_layers: leaves (L/S, ...) — this stage's layer slice;
+        # key: replicated base PRNG key (or a dummy zero when rng is None).
         stage = jax.lax.axis_index(STAGE_AXIS)
+        shard = (jax.lax.axis_index(DATA_AXIS)
+                 if DATA_AXIS in mesh.shape else 0)
 
-        def apply_local(y):
+        def apply_local(y, mb):
             for j in range(layers_per_stage):
                 lp = jax.tree.map(lambda a: a[j], local_layers)
-                y = layer_fn(lp, y)
+                if rng is None:
+                    y = layer_fn(lp, y)
+                else:
+                    gl = stage * layers_per_stage + j
+                    lk = jax.random.fold_in(
+                        jax.random.fold_in(jax.random.fold_in(key, gl), mb),
+                        shard)
+                    y = layer_fn(lp, y, lk)
             return y
 
         ticks = m + n_stages - 1
@@ -114,8 +140,13 @@ def pipeline_apply(x: jnp.ndarray, stacked_layers, layer_fn: Callable,
         # carry holds ONLY the one in-flight microbatch activation
         # (lax.scan with large carries is a measured 70× pathology on this
         # runtime, CLAUDE.md — the full output buffer must not live there).
-        def tick(recv, xt):
-            y = apply_local(jnp.where(stage == 0, xt, recv))
+        def tick(recv, tick_in):
+            xt, t = tick_in
+            # This stage processes the microbatch that entered the ring at
+            # tick t - stage (clamped: warm-up/drain ticks compute garbage
+            # that never lands in the result).
+            mb = jnp.clip(t - stage, 0, m - 1)
+            y = apply_local(jnp.where(stage == 0, xt, recv), mb)
             send = jax.lax.ppermute(y, STAGE_AXIS, perm)
             return send, y
 
@@ -124,7 +155,7 @@ def pipeline_apply(x: jnp.ndarray, stacked_layers, layer_fn: Callable,
         # varying-manual-axes checker accepts the carry (shard_map scan rule).
         init = jax.lax.pcast(jnp.zeros_like(xm[0]), (STAGE_AXIS,),
                              to="varying")
-        _, ys = jax.lax.scan(tick, init, stream)
+        _, ys = jax.lax.scan(tick, init, (stream, jnp.arange(ticks)))
         # The last stage finishes microbatch i at tick i + (S-1): a static
         # slice of ys picks the M real outputs. Only the last stage holds
         # them; the psum broadcasts them around the stage ring (and proves
@@ -134,10 +165,11 @@ def pipeline_apply(x: jnp.ndarray, stacked_layers, layer_fn: Callable,
         return jax.lax.psum(out, STAGE_AXIS)
 
     xm = x.reshape(m, batch // m, *x.shape[1:])
+    key = rng if rng is not None else jax.random.PRNGKey(0)
     data_spec = P(None, DATA_AXIS)
     out = shard_map(
         stage_fn, mesh=mesh,
-        in_specs=(data_spec, P(STAGE_AXIS)),
+        in_specs=(data_spec, P(STAGE_AXIS), P()),
         out_specs=data_spec,
-    )(xm, stacked_layers)
+    )(xm, stacked_layers, key)
     return out.reshape(batch, *x.shape[1:])

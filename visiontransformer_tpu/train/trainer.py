@@ -71,6 +71,60 @@ class Trainer:
         self.optimizer = build_optimizer(train_cfg)
         self.logger = logger
 
+        # Pipeline parallelism (GPipe over a ("data","stage") mesh): the
+        # encoder stack runs as an S-stage pipeline, params["layers"] is
+        # stored STACKED and stage-sharded (1/S of the transformer weights
+        # and Adam moments per stage — parallel/pipeline.py).
+        self.pipeline = train_cfg.pipeline_stages > 1
+        if self.pipeline:
+            from visiontransformer_tpu.models.vitseg import (
+                vitseg_apply_pipelined)
+            from visiontransformer_tpu.parallel.pipeline import (
+                create_pipeline_mesh)
+
+            if model != "vitseg":
+                raise ValueError(
+                    "pipeline parallelism is implemented for the vitseg "
+                    f"model family, not {model!r}")
+            if train_cfg.fsdp or train_cfg.seq_parallel:
+                raise ValueError(
+                    "pipeline_stages does not compose with fsdp/seq_parallel")
+            stages = train_cfg.pipeline_stages
+            if seg_cfg.vit.num_hidden_layers % stages:
+                raise ValueError(
+                    f"{seg_cfg.vit.num_hidden_layers} encoder layers must "
+                    f"divide over {stages} pipeline stages")
+            if mesh is None:
+                shape = train_cfg.mesh_shape
+                if shape is None:
+                    n = len(jax.devices())
+                    if n % stages:
+                        raise ValueError(
+                            f"{n} devices do not divide into {stages} "
+                            "pipeline stages; pass mesh_shape=(dp, stages)")
+                    shape = (n // stages, stages)
+                if len(shape) != 2 or shape[1] != stages:
+                    raise ValueError(
+                        f"pipeline mesh_shape must be (dp, {stages}); got "
+                        f"{shape}")
+                mesh = create_pipeline_mesh(shape)
+            self.mesh = mesh
+            micro = train_cfg.batch_size // train_cfg.accumulate_grad_batches
+            m = train_cfg.pipeline_microbatches or stages
+            dp = mesh.shape.get(DATA_AXIS, 1)
+            if micro % m or (micro // m) % dp:
+                raise ValueError(
+                    f"micro-batch {micro} must divide into "
+                    f"{m} pipeline microbatches of a multiple of the data "
+                    f"axis ({dp} devices)")
+            apply_fn = partial(vitseg_apply_pipelined, mesh=mesh,
+                               n_microbatches=m)
+            self.task_fn = partial(get_task(task), apply_fn=apply_fn)
+            self._train_step = None
+            self._eval_step = None
+            self._tb_writer = None
+            return
+
         if mesh is None and use_mesh:
             mesh = create_mesh(train_cfg.mesh_shape)
         if mesh is not None and mesh.size == 1:
@@ -108,6 +162,10 @@ class Trainer:
     # ------------------------------------------------------------------ init
     def _param_shardings(self, params):
         """Sharding pytree for params on self.mesh, honoring the FSDP config."""
+        if self.pipeline:
+            from visiontransformer_tpu.parallel.pipeline import (
+                pipeline_param_shardings)
+            return pipeline_param_shardings(self.mesh, params)
         kwargs = {"fsdp": self.train_cfg.fsdp}
         if self.train_cfg.fsdp_min_size is not None:
             kwargs["fsdp_min_size"] = self.train_cfg.fsdp_min_size
@@ -117,6 +175,18 @@ class Trainer:
         if rng is None:
             rng = jax.random.PRNGKey(self.train_cfg.seed)
         params = self.model_family.init(rng, self.seg_cfg)
+        if self.pipeline:
+            # Stack the per-layer param list leaf-wise (leading layer axis)
+            # so the leaves can shard over "stage": each stage device stores
+            # 1/S of the encoder weights and, by inheritance, 1/S of the
+            # Adam moments. Checkpoints written in pipeline mode carry the
+            # stacked form.
+            from visiontransformer_tpu.parallel.pipeline import (
+                stack_stage_params)
+            params = dict(params)
+            params["backbone"] = dict(params["backbone"])
+            params["backbone"]["layers"] = stack_stage_params(
+                params["backbone"]["layers"])
         if self.mesh is not None:
             # Shard params first; optimizer moments initialized from sharded
             # params inherit the same placement, scalars replicate.
@@ -130,6 +200,14 @@ class Trainer:
         return TrainState.create(params, self.optimizer)
 
     def state_from_params(self, params) -> TrainState:
+        if self.pipeline and isinstance(
+                params.get("backbone", {}).get("layers"), (list, tuple)):
+            from visiontransformer_tpu.parallel.pipeline import (
+                stack_stage_params)
+            params = dict(params)
+            params["backbone"] = dict(params["backbone"])
+            params["backbone"]["layers"] = stack_stage_params(
+                params["backbone"]["layers"])
         if self.mesh is not None:
             params = jax.device_put(params, self._param_shardings(params))
         return TrainState.create(params, self.optimizer)
@@ -218,7 +296,10 @@ class Trainer:
         measured pathologically slow on this runtime), then apply the update."""
         if self._train_step is None:
             grad_shardings = None
-            if self.mesh is not None and self.train_cfg.fsdp:
+            if self.mesh is not None and (self.train_cfg.fsdp
+                                          or self.pipeline):
+                # Pin gradients to the params' sharded layout (FSDP: dp-
+                # sharded ZeRO grads; pipeline: stage-sharded layer grads).
                 grad_shardings = self._param_shardings(state.params)
             self._train_step = (self._build_grad_step(grad_shardings),
                                 self._build_accum_step(),
