@@ -5,10 +5,11 @@ InferenceWorker on the real TPU, ThreadingHTTPServer — then drives it with
 concurrent HTTP clients: register/login, multipart job submit, poll until
 DONE. Reports jobs/s over the steady-state window.
 
-Round-2 numbers with THIS harness (256 jobs, submit->DONE for every job):
-23.2 jobs/s full stack / 41.9 jobs/s worker-only on the single-core host
-(docs/PERFORMANCE.md "End-to-end serving"). The raw model throughput is far
-higher; end-to-end is host-CPU-bound.
+Round-3 numbers with THIS harness (256 jobs, submit->DONE for every job):
+49.2 jobs/s full stack / 86.6 jobs/s worker-only on the single-core host
+(docs/PERFORMANCE.md "End-to-end serving"; round 2 measured 23.2/41.9
+before the uint8-over-the-tunnel fix). The raw model throughput is far
+higher; end-to-end is host+tunnel-bound.
 
 Env knobs:
   SERVE_CONFIG   model config name (default P16H768A12; e.g. vit_l_16 for

@@ -479,7 +479,7 @@ def test_worker_mesh_sharded_inference_matches_single_device(tmp_path):
                                          buckets=(8, 16), mesh_shape=(8,))
         assert sharded.mesh is not None
         rng = np.random.default_rng(3)
-        images = rng.random((11, 32, 32, 3)).astype(np.float32)  # pads to 16
+        images = rng.integers(0, 256, (11, 32, 32, 3)).astype(np.uint8)  # pads to 16
         np.testing.assert_array_equal(plain.predict(images),
                                       sharded.predict(images))
         # bucket/dp divisibility enforced
