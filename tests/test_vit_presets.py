@@ -62,6 +62,36 @@ def test_register_model_cli_accepts_vit_presets(tmp_path):
     assert rows[0]["config_name"] == "vit_l_16"
 
 
+def test_vit_h_14_serves_jobs_end_to_end(tmp_path):
+    """vit_h_14 through the worker with NO monkeypatching: the real
+    H=1280/L=32 (0.63B-param) model at input 28 (2x2 patches of 14) — the
+    geometry the 224² serving path uses, CPU-tractable. Companion TPU
+    numbers (224²/448² masks/s, worker jobs/s) live in docs/PERFORMANCE.md
+    §'Named presets'."""
+    store = JobStore(":memory:", media_root=str(tmp_path / "media"))
+    mid = store.register_model("vit-huge", num_classes=4,
+                               config_name="vit_h_14", input_size=28)
+
+    img = tmp_path / "in.png"
+    Image.fromarray(np.full((40, 40, 3), 90, np.uint8)).save(img)
+    worker = InferenceWorker(store, compute_dtype="float32",
+                             poll_interval=0.005, linger=0.0, buckets=(1,))
+    try:
+        job = store.create_job(None, mid, str(img))
+        worker.start()
+        deadline = time.time() + 600  # 0.63B f32 init + compile, 1 CPU core
+        while time.time() < deadline:
+            detail = store.get_job(job["id"])
+            if detail["status"] in ("DONE", "FAILED"):
+                break
+            time.sleep(0.2)
+        assert detail["status"] == "DONE", detail
+        mask = np.asarray(Image.open(detail["mask_image"]))
+        assert mask.shape[:2] == (28, 28)
+    finally:
+        worker.stop()
+
+
 def test_vit_preset_serves_jobs_end_to_end(tmp_path):
     """A preset-named vitseg row goes through the worker with NO test
     monkeypatching (the other vitseg serving tests swap in tiny sweep
