@@ -47,54 +47,47 @@ ITERS = 12
 ROUNDS = 4
 
 
-# --------------------------------------------------------------------- dualq
-def _dualq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, block_k):
-    q2 = q_ref[0]                         # (2*bq, d)
-    bq = q2.shape[0] // 2
-    qA, qB = q2[:bq], q2[bq:]
+# -------------------------------------------------------------- multi-q
+def _multiq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, block_k,
+                   n_chains):
+    """n_chains independent online-softmax chains per program (dualq=2)."""
+    qall = q_ref[0]                       # (n_chains*bq, d)
+    bq = qall.shape[0] // n_chains
+    qs = [qall[c * bq:(c + 1) * bq] for c in range(n_chains)]
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
 
     def chunk(i, carry):
-        accA, mA, lA, accB, mB, lB = carry
+        accs, ms, ls = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         col = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1)
         valid = col < seq_len
-        # Two independent MXU->VPU->MXU chains; Mosaic interleaves them.
-        sA = jax.lax.dot_general(qA, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        sB = jax.lax.dot_general(qB, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        sA = jnp.where(valid, sA, NEG_INF)
-        sB = jnp.where(valid, sB, NEG_INF)
-        mA_new = jnp.maximum(mA, jnp.max(sA, axis=1, keepdims=True))
-        mB_new = jnp.maximum(mB, jnp.max(sB, axis=1, keepdims=True))
-        alphaA = jnp.exp(mA - mA_new)
-        alphaB = jnp.exp(mB - mB_new)
-        pA = jnp.exp(sA - mA_new)
-        pB = jnp.exp(sB - mB_new)
-        lA = lA * alphaA + jnp.sum(pA, axis=1, keepdims=True)
-        lB = lB * alphaB + jnp.sum(pB, axis=1, keepdims=True)
-        accA = accA * alphaA + jax.lax.dot_general(
-            pA.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        accB = accB * alphaB + jax.lax.dot_general(
-            pB.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return accA, mA_new, lA, accB, mB_new, lB
+        # Independent MXU->VPU->MXU chains; Mosaic interleaves them.
+        new_accs, new_ms, new_ls = [], [], []
+        for c in range(n_chains):
+            s = jax.lax.dot_general(qs[c], k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(valid, s * scale, NEG_INF)
+            m_new = jnp.maximum(ms[c], jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(ms[c] - m_new)
+            p = jnp.exp(s - m_new)
+            new_ls.append(ls[c] * alpha + jnp.sum(p, axis=1, keepdims=True))
+            new_accs.append(accs[c] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            new_ms.append(m_new)
+        return new_accs, new_ms, new_ls
 
-    z = lambda: jnp.zeros((bq, D), jnp.float32)
-    neg = lambda: jnp.full((bq, 1), NEG_INF, jnp.float32)
-    zl = lambda: jnp.zeros((bq, 1), jnp.float32)
-    carry = (z(), neg(), zl(), z(), neg(), zl())
+    carry = ([jnp.zeros((bq, D), jnp.float32)] * n_chains,
+             [jnp.full((bq, 1), NEG_INF, jnp.float32)] * n_chains,
+             [jnp.zeros((bq, 1), jnp.float32)] * n_chains)
     for i in range(num_kb):
         carry = chunk(i, carry)
-    accA, mA, lA, accB, mB, lB = carry
-    outA = accA / jnp.maximum(lA, 1e-30)
-    outB = accB / jnp.maximum(lB, 1e-30)
-    o_ref[0] = jnp.concatenate([outA, outB], axis=0).astype(o_ref.dtype)
+    accs, ms, ls = carry
+    outs = [accs[c] / jnp.maximum(ls[c], 1e-30) for c in range(n_chains)]
+    o_ref[0] = jnp.concatenate(outs, axis=0).astype(o_ref.dtype)
 
 
 # ----------------------------------------------------------------------- pvT
@@ -186,7 +179,8 @@ def _dualq_pvt_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len,
 
 
 KERNELS = {
-    "dualq": (_dualq_kernel, 2, False),
+    "dualq": (functools.partial(_multiq_kernel, n_chains=2), 2, False),
+    "quadq": (functools.partial(_multiq_kernel, n_chains=4), 4, False),
     "pvT": (_pvt_kernel, 1, True),
     "dualq_pvT": (_dualq_pvt_kernel, 2, True),
 }
@@ -257,19 +251,31 @@ def main():
 
     n128 = _round_up(N, 128)
     cases = []
-    for bq in (128, 192, 256, 320):
-        if n128 % (2 * bq) == 0:
-            cases.append(("dualq", bq, n128, n128))
-            cases.append(("dualq_pvT", bq, n128, n128))
-    for bq in (128, 192, 256, 384, 512):
-        if n128 % bq == 0:
-            cases.append(("pvT", bq, n128, n128))
-    # chunked-k versions (pipelining across chunks)
-    if n128 % 512 == 0 or N > 2000:
-        kchunk = 640 if N > 2000 else n128 // 2
-        for bq in (256, 320):
-            if n128 % (2 * bq) == 0 and n128 % kchunk == 0:
-                cases.append(("dualq_pvT", bq, kchunk, n128))
+    seen = set()
+
+    def add(name, bq):
+        """Smallest pad >= n128 that tiles (nq*bq rows, 128-lane outputs)
+        with <=15% wasted rows; transposed outputs need rows % 128 == 0
+        (Mosaic block-shape rule — the r3 first run crashed on rows=192)."""
+        kern, nq, transposed = KERNELS[name]
+        rows = nq * bq
+        if transposed and rows % 128:
+            return
+        pad = _round_up(n128, rows)
+        if pad % 128 or pad > n128 * 1.15 or (name, bq, pad) in seen:
+            return
+        seen.add((name, bq, pad))
+        cases.append((name, bq, pad, pad))
+        if pad % (2 * 128) == 0 and pad // 2 >= rows:
+            cases.append((name, bq, pad // 2, pad))  # chunked-k pipelining
+
+    for bq in (96, 112, 128, 144, 160, 192, 224, 256, 288):
+        add("dualq", bq)
+    for bq in (96, 112, 128, 144, 160):
+        add("quadq", bq)
+    add("pvT", 128)
+    add("pvT", 256)
+    add("dualq_pvT", 192)
 
     best = {}
     for name, bq, bk, npad in cases:

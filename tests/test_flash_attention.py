@@ -109,3 +109,44 @@ def test_flash_dropout_gradients_match_finite_difference(rng):
         fd = (fp - fm) / (2 * eps)
         assert abs(fd - g[bi, hi, ni, di]) < 5e-2 * max(1.0, abs(fd)), \
             f"grad mismatch at {(bi, hi, ni, di)}: fd={fd} ad={g[bi,hi,ni,di]}"
+
+
+def test_flash_q_chains_match_single_chain(rng):
+    """q_chains > 1 (independent online-softmax chains per program — the
+    MXU/VPU-overlap lever, scripts/tune_flash3.py) is bit-identical to the
+    single-chain kernel: each chain computes exactly what a block_q-sized
+    single-chain program computes."""
+    q, k, v = _rand_qkv(rng, 1, 2, 130, 64)
+    base = flash_attention(q, k, v, interpret=True, block_q=128,
+                           block_k=128)
+    for chains, bq in ((2, 64), (3, 64), (2, 128)):
+        got = flash_attention(q, k, v, interpret=True, block_q=bq,
+                              block_k=128, q_chains=chains)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(flash_attention(
+        a, k, v, interpret=True, block_q=128, block_k=128))))(q)
+    g2 = jax.grad(lambda a: jnp.sum(jnp.sin(flash_attention(
+        a, k, v, interpret=True, block_q=64, block_k=128,
+        q_chains=2))))(q)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_flash_q_chains_dropout_mask_convention(rng):
+    """With dropout, a chained forward must regenerate the SAME masks as the
+    single-chain kernel at per-chain block_q granularity (the backward
+    kernels run at that granularity, so fwd/bwd mask consistency reduces to
+    this equality)."""
+    q, k, v = _rand_qkv(rng, 1, 2, 130, 64)
+    chained = flash_attention(q, k, v, interpret=True, block_q=64,
+                              block_k=64, q_chains=2, dropout_rate=0.3,
+                              dropout_seed=7)
+    single = flash_attention(q, k, v, interpret=True, block_q=64,
+                             block_k=64, q_chains=1, dropout_rate=0.3,
+                             dropout_seed=7)
+    np.testing.assert_array_equal(np.asarray(chained), np.asarray(single))
+    # and the chained grad path runs (per-chain block_q backward)
+    g = jax.grad(lambda a: jnp.sum(flash_attention(
+        a, k, v, interpret=True, block_q=64, block_k=64, q_chains=2,
+        dropout_rate=0.3, dropout_seed=7)))(q)
+    assert np.isfinite(np.asarray(g)).all()

@@ -24,6 +24,7 @@ All three kernels run under interpret mode on CPU for the unit tests.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -88,124 +89,158 @@ def _tile_dropout_mask(seed_ref, b, qi, kj, shape, keep_prob: float,
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *out_refs,
                 scale: float, seq_len: int, block_k: int,
-                dropout_rate: float = 0.0, interpret: bool = False):
+                dropout_rate: float = 0.0, interpret: bool = False,
+                q_chains: int = 1):
+    lse_ref = out_refs[0] if out_refs else None
     # Inputs stay in their storage dtype (bf16) so the MXU runs at full
     # bf16 rate; only accumulation and the softmax state are fp32.
-    q = q_ref[0]                               # (block_q, d)
+    #
+    # q_chains > 1 runs that many INDEPENDENT online-softmax chains per
+    # program over q sub-tiles of the fetched block: while chain A is in
+    # its VPU phase (max/exp/sum), chain B's QK^T / PV contraction can
+    # occupy the MXU — Mosaic schedules at op granularity, so independent
+    # chains are what give it freedom (measured +9-10% at N=1025,
+    # scripts/tune_flash3.py). Each chain's dropout tile index is the
+    # q-tile index a single-chain kernel with block_q rows would use, so
+    # the backward kernels (which run at block_q granularity) regenerate
+    # identical masks.
+    qall = q_ref[0]                            # (q_chains*block_q, d)
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
-    block_q, d = q.shape
+    block_q = qall.shape[0] // q_chains
+    qs = [qall[c * block_q:(c + 1) * block_q] for c in range(q_chains)]
     keep = 1.0 - dropout_rate
 
     def body(i, carry):
-        acc, m, l = carry
+        accs, ms, ls = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
         col = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(col < seq_len, s, NEG_INF)
+        valid = col < seq_len
+        new_accs, new_ms, new_ls = [], [], []
+        for c in range(q_chains):
+            s = jax.lax.dot_general(qs[c], k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(valid, s * scale, NEG_INF)
+            m_new = jnp.maximum(ms[c], jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(ms[c] - m_new)
+            p = jnp.exp(s - m_new)
+            # The softmax denominator sums UNdropped probabilities; dropout
+            # applies to the normalized probs, i.e. to the numerator terms.
+            new_ls.append(ls[c] * alpha
+                          + jnp.sum(p, axis=1, keepdims=True))
+            p_use = p
+            if dropout_rate > 0.0:
+                mask = _tile_dropout_mask(
+                    seed_ref, pl.program_id(0),
+                    pl.program_id(1) * q_chains + c, i, p.shape, keep,
+                    interpret)
+                p_use = p * (mask / keep)
+            new_accs.append(accs[c] * alpha + jax.lax.dot_general(
+                p_use.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            new_ms.append(m_new)
+        return tuple(new_accs), tuple(new_ms), tuple(new_ls)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        # The softmax denominator sums UNdropped probabilities; dropout
-        # applies to the normalized probs, i.e. to the numerator terms.
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        p_use = p
-        if dropout_rate > 0.0:
-            mask = _tile_dropout_mask(seed_ref, pl.program_id(0),
-                                      pl.program_id(1), i, p.shape, keep,
-                                      interpret)
-            p_use = p * (mask / keep)
-        acc = acc * alpha + jax.lax.dot_general(
-            p_use.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc, m_new, l
-
-    acc = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    d = qall.shape[1]
+    init = (tuple(jnp.zeros((block_q, d), jnp.float32)
+                  for _ in range(q_chains)),
+            tuple(jnp.full((block_q, 1), NEG_INF, jnp.float32)
+                  for _ in range(q_chains)),
+            tuple(jnp.zeros((block_q, 1), jnp.float32)
+                  for _ in range(q_chains)))
     # Static unroll lets Mosaic software-pipeline MXU and VPU work across
     # chunks (measured ~15% over fori_loop at N=1025); cap the unroll so
     # P4-scale sequences don't blow up compile time.
-    if num_kb <= _MAX_UNROLL:
-        carry = (acc, m0, l0)
-        for i in range(num_kb):
-            carry = body(i, carry)
-        acc, m, l = carry
-    else:
-        acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    accs, ms, ls = _maybe_unrolled(num_kb, body, init)
 
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+    # Per-chain static-slice stores: Mosaic cannot lane-concatenate the 1-D
+    # lse vectors ("input offsets outside of the first tile"), and c/block_q
+    # are Python ints so these lower to plain tile stores.
+    for c in range(q_chains):
+        l_safe = jnp.maximum(ls[c], 1e-30)
+        lo = c * block_q
+        o_ref[0, lo:lo + block_q, :] = (accs[c] / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, lo:lo + block_q, :] = ms[c] + jnp.log(l_safe)
 
 
 # Measured-on-v5e tile choices per padded length (chained-iteration timing,
-# scripts/tune_flash.py; see git history for the tuning runs). Key: n at 128
-# granularity -> (block_q, block_k, n_pad). Anything else falls back to
-# 512-blocks at 512-pad.
+# scripts/tune_flash.py + tune_flash3.py; see git history for the tuning
+# runs). Key: n at 128 granularity -> (block_q, block_k, n_pad, q_chains).
+# block_q is the PER-CHAIN q tile; a program fetches block_q*q_chains rows.
+# Anything else falls back to single-chain 512-blocks at 512-pad.
 _TUNED_BLOCKS = {
-    256: (256, 256, 256),      # N=197  (224px, P16): ties XLA (1.00x)
-    896: (512, 1024, 1024),    # N=785  (224px, P8):  2.53ms, 1.21x XLA @bh128
-    1152: (384, 1152, 1152),   # N=1025 (512px, P16): 3.21ms, 1.47x XLA @bh192
-    3200: (640, 640, 3200),    # N=3137 (224px, P4):  1.70x XLA @bh32
+    256: (256, 256, 256, 1),    # N=197  (224px, P16): ties XLA (1.00x)
+    896: (512, 1024, 1024, 1),  # N=785  (224px, P8): chains tied (r3 sweep)
+    1152: (192, 1152, 1152, 2), # N=1025 (512px, P16): 2 chains 1.05-1.16x
+                                # the single-chain kernel (tune_flash3/4)
+    3200: (320, 640, 3200, 2),  # N=3137 (224px, P4): 2 chains 1.02x fwd,
+                                # 1.015x grad over single-chain 640-tiles
 }
 
 
 def choose_blocks(n: int):
-    """(block_q, block_k, n_pad) for a sequence length."""
+    """(block_q, block_k, n_pad, q_chains) for a sequence length."""
     key = _round_up(n, 128)
     if key in _TUNED_BLOCKS:
         return _TUNED_BLOCKS[key]
     n_pad = _round_up(n, 512)
-    return min(512, n_pad), min(512, n_pad), n_pad
+    return min(512, n_pad), min(512, n_pad), n_pad, 1
 
 
 def _fwd(q, k, v, seed, *, block_q: int, block_k: int, interpret: bool,
-         n_pad: Optional[int] = None, dropout_rate: float = 0.0):
+         n_pad: Optional[int] = None, dropout_rate: float = 0.0,
+         q_chains: int = 1, need_lse: bool = True):
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
+    super_q = block_q * q_chains               # rows fetched per program
     if n_pad is None:
-        n_pad = _round_up(n, max(block_q, block_k))
+        n_pad = _round_up(n, max(super_q, block_k))
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
     seed_i = seed.astype(jnp.int32).reshape(1)
 
-    grid = (bh, n_pad // block_q)
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, super_q, d), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)]
+    if need_lse:
+        # lse rides in a (bh, n_pad, 1) buffer: SUBLANE layout, so any
+        # 8-multiple tile is legal (the lane layout (bh, 1, n_pad) would
+        # force super_q % 128 == 0 and ban the winning chain shapes).
+        # The primal (inference) path never consumes lse, so it skips the
+        # output entirely — the store isn't free (scripts/tune_flash3.py's
+        # no-lse kernels ran measurably faster than the lse-writing ones).
+        out_specs.append(pl.BlockSpec((1, super_q, 1), lambda b, i: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32))
+
+    grid = (bh, n_pad // super_q)
+    res = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, seq_len=n,
                           block_k=block_k, dropout_rate=dropout_rate,
-                          interpret=interpret),
+                          interpret=interpret, q_chains=q_chains),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, super_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            # lse rides in a (bh, 1, n_pad) buffer: TPU block shapes need the
-            # trailing dims (sublane, lane)-aligned or full-extent.
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, n_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(seed_i, qp, kp, vp)
-    return out[:, :n, :], lse[:, 0, :n]
+    if not need_lse:
+        return res[0][:, :n, :], None
+    out, lse = res
+    return out[:, :n, :], lse[:, :n, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -217,8 +252,8 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dropout_rate: float = 0.0, interpret: bool = False):
     q = q_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
+    lse = lse_ref[0]                          # (block_q, 1)
+    delta = delta_ref[0]
     block_q, d = q.shape
     n_pad = k_ref.shape[1]
     keep = 1.0 - dropout_rate
@@ -269,8 +304,8 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :]
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)                  # (block_q, block_k) fp32
@@ -303,7 +338,13 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None,
-         dropout_rate: float = 0.0):
+         dropout_rate: float = 0.0, q_chains: int = 1):
+    # Without dropout there is no mask-tile convention to honor, so the
+    # backward runs at the proven super-tile (block_q*q_chains) sizes; with
+    # dropout it must run at the per-chain block_q so the regenerated masks
+    # match the chain-aware forward's tile indices.
+    if dropout_rate == 0.0:
+        block_q = block_q * q_chains
     q, k, v, seed, out, lse = res
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
@@ -313,8 +354,8 @@ def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None,
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     qp, kp, vp, dop = (jnp.pad(x, pad) for x in (q, k, v, g))
-    lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])[:, None, :]
-    deltap = jnp.pad(delta, [(0, 0), (0, n_pad - n)])[:, None, :]
+    lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])[:, :, None]
+    deltap = jnp.pad(delta, [(0, 0), (0, n_pad - n)])[:, :, None]
     seed_i = seed.astype(jnp.int32).reshape(1)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -322,9 +363,9 @@ def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None,
                                      memory_space=pltpu.VMEM)
     vec_full = pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    row_q = lambda blk: pl.BlockSpec((1, 1, blk), lambda b, i: (b, 0, i),
+    row_q = lambda blk: pl.BlockSpec((1, blk, 1), lambda b, i: (b, i, 0),
                                      memory_space=pltpu.VMEM)
-    row_full = pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0),
+    row_full = pl.BlockSpec((1, n_pad, 1), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
@@ -360,34 +401,37 @@ def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None,
 # public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash_bhnd(q, k, v, seed, block_q: int, block_k: int, n_pad: int,
-                interpret: bool, dropout_rate: float):
+                interpret: bool, dropout_rate: float, q_chains: int):
     out, _ = _fwd(q, k, v, seed, block_q=block_q, block_k=block_k,
                   n_pad=n_pad, interpret=interpret,
-                  dropout_rate=dropout_rate)
+                  dropout_rate=dropout_rate, q_chains=q_chains,
+                  need_lse=False)
     return out
 
 
 def _flash_fwd_rule(q, k, v, seed, block_q, block_k, n_pad, interpret,
-                    dropout_rate):
+                    dropout_rate, q_chains):
     out, lse = _fwd(q, k, v, seed, block_q=block_q, block_k=block_k,
                     n_pad=n_pad, interpret=interpret,
-                    dropout_rate=dropout_rate)
+                    dropout_rate=dropout_rate, q_chains=q_chains)
     return out, (q, k, v, seed, out, lse)
 
 
 _flash_bhnd.defvjp(
     _flash_fwd_rule,
-    lambda bq, bk, n_pad, interp, rate, res, g: _bwd(
-        bq, bk, interp, res, g, n_pad=n_pad, dropout_rate=rate))
+    lambda bq, bk, n_pad, interp, rate, chains, res, g: _bwd(
+        bq, bk, interp, res, g, n_pad=n_pad, dropout_rate=rate,
+        q_chains=chains))
 
 
 def flash_attention(q, k, v, *, block_q: Optional[int] = None,
                     block_k: Optional[int] = None,
                     interpret: Optional[bool] = None,
                     dropout_rate: float = 0.0,
-                    dropout_seed=None):
+                    dropout_seed=None,
+                    q_chains: Optional[int] = None):
     """Softmax attention over (B, H, N, D) tensors, O(N) memory.
 
     Numerically equivalent to ops.attention's XLA path; exposed through
@@ -405,18 +449,23 @@ def flash_attention(q, k, v, *, block_q: Optional[int] = None,
         interpret = jax.default_backend() != "tpu"
     b, h, n, d = q.shape
     if block_q is None or block_k is None:
-        auto_q, auto_k, n_pad = choose_blocks(n)
+        auto_q, auto_k, n_pad, auto_chains = choose_blocks(n)
         block_q = block_q or auto_q
         block_k = block_k or auto_k
-        if n_pad % block_q or n_pad % block_k:
-            n_pad = _round_up(n, max(block_q, block_k))
+        q_chains = q_chains or auto_chains
     else:
-        n_pad = _round_up(n, max(block_q, block_k))
+        q_chains = q_chains or 1
+        n_pad = None
+    if n_pad is None or n_pad % (block_q * q_chains) or n_pad % block_k:
+        # Both the q super-tile and the k chunk must divide the padded
+        # length (a max() round-up under-covers K when the two block sizes
+        # are not multiples of each other).
+        n_pad = _round_up(n, math.lcm(block_q * q_chains, block_k))
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
     seed = (jnp.zeros((1,), jnp.float32) if dropout_seed is None
             else jnp.asarray(dropout_seed, jnp.float32).reshape(1))
     merge = lambda x: x.reshape(b * h, n, d)
     out = _flash_bhnd(merge(q), merge(k), merge(v), seed, block_q, block_k,
-                      n_pad, interpret, float(dropout_rate))
+                      n_pad, interpret, float(dropout_rate), q_chains)
     return out.reshape(b, h, n, d)
