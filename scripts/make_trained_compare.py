@@ -31,7 +31,7 @@ def main() -> None:
 
     stage = tempfile.mkdtemp(prefix="trained_sweep_")
     n = 0
-    for csv_path in sorted(glob.glob(os.path.join(CONV, "ce_P*", "P*_metrics.csv"))):
+    for csv_path in sorted(glob.glob(os.path.join(CONV, "ce_*", "P*_metrics.csv"))):
         name = os.path.basename(csv_path)[: -len("_metrics.csv")]
         os.makedirs(os.path.join(stage, name), exist_ok=True)
         shutil.copy(csv_path, os.path.join(stage, name, os.path.basename(csv_path)))

@@ -3,9 +3,11 @@
 The inference side has a full profile (profile_stages2.py / PERFORMANCE.md);
 the train side only ever published end-to-end imgs/s. This script splits one
 optimizer step into the exact programs the Trainer dispatches —
-grad (fwd+bwd per micro-batch), accumulate-add, scale, optimizer update —
-plus the full `Trainer.train_step` wall time, and reports sustained TFLOPS
-per stage from XLA's own cost analysis of each compiled program.
+grad (fwd+bwd per micro-batch), fused grad+accumulate (micro-batches 2..N;
+the standalone add/scale dispatches were folded away in round 4), optimizer
+update (with the 1/accum scale inside) — plus the full `Trainer.train_step`
+wall time, and reports sustained TFLOPS per stage from XLA's own cost
+analysis of each compiled program.
 
 Measurement rules per CLAUDE.md: single process, best-of-N back-to-back,
 scalar-readback sync (block_until_ready doesn't sync the tunnel), and k
@@ -100,7 +102,7 @@ def main():
     key = jax.random.PRNGKey(1)
 
     grad_step = trainer._build_grad_step()
-    add_step, scale_step = trainer._build_accum_step()
+    grad_acc_step = trainer._build_grad_step(accumulate=True)
     update_step = trainer._build_update_step()
     eval_step = trainer._build_eval_step()
 
@@ -116,13 +118,15 @@ def main():
                    flops=grad_flops)
     grads, _ = grad_step(state.params, micro_batch, key)
     sync(grads)
-    t_add = bench("accumulate add (pytree add)", add_step, grads, grads)
-    t_scale = bench("accumulate scale (pytree /accum)", scale_step, grads)
-    t_upd = bench("optimizer update (Adam + apply)", update_step,
+    t_grad_acc = bench(f"grad+accumulate fused (micro={micro})",
+                       grad_acc_step, state.params, grads, micro_batch, key,
+                       flops=grad_flops)
+    t_upd = bench("optimizer update (Adam + /accum + apply)", update_step,
                   state, grads, flops=upd_flops)
 
-    # Full Trainer.train_step wall: ACCUM grad dispatches + (ACCUM-1) adds +
-    # scale + update + host-side micro-batch slicing + metric stacking.
+    # Full Trainer.train_step wall: 1 grad dispatch + (ACCUM-1) fused
+    # grad+add dispatches + update (scale folded in) + host-side
+    # micro-batch slicing + metric stacking.
     def full(state, batch, key):
         new_state, metrics = trainer.train_step(state, batch, key)
         sync(metrics["loss"])
@@ -135,7 +139,7 @@ def main():
         for _ in range(2):
             full(state, batch, key)
         best = min(best, (time.perf_counter() - t0) / 2)
-    device_sum = ACCUM * t_grad + (ACCUM - 1) * t_add + t_scale + t_upd
+    device_sum = t_grad + (ACCUM - 1) * t_grad_acc + t_upd
     print(f"{'full train_step (wall, incl. host)':<44s} {best * 1e3:9.2f} ms"
           f"  -> {BATCH / best:6.1f} imgs/s", flush=True)
     print(f"{'  sum of device programs':<44s} {device_sum * 1e3:9.2f} ms")

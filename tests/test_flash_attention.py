@@ -150,3 +150,31 @@ def test_flash_q_chains_dropout_mask_convention(rng):
         a, k, v, interpret=True, block_q=64, block_k=64, q_chains=2,
         dropout_rate=0.3, dropout_seed=7)))(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_per_path_tables_agree_numerically(rng):
+    """The inference and training tuned tables dispatch different tile
+    shapes at N=1025 (3-chain no-lse vs 2-chain lse forward); both must
+    produce the XLA result. Run at a truncated length that still exercises
+    distinct multi-chain entries via explicit blocks (interpret mode at
+    N=1025 is too slow for CI)."""
+    from visiontransformer_tpu.ops.flash_attention import (
+        _TUNED_BLOCKS_INFER,
+        _TUNED_BLOCKS_TRAIN,
+        choose_blocks,
+    )
+
+    # table wiring: the paths really select different entries at N=1025
+    assert choose_blocks(1025, "infer") == _TUNED_BLOCKS_INFER[1152]
+    assert choose_blocks(1025, "train") == _TUNED_BLOCKS_TRAIN[1152]
+    assert choose_blocks(1025, "infer") != choose_blocks(1025, "train")
+    # unknown lengths fall back identically
+    assert choose_blocks(2049, "infer") == choose_blocks(2049, "train")
+
+    q, k, v = _rand_qkv(rng, 1, 2, 130, 64)
+    expected = _xla_attention(q, k, v)
+    for bq, chains in [(64, 3), (96, 2)]:  # per-path style tile shapes
+        got = flash_attention(q, k, v, interpret=True, block_q=bq,
+                              block_k=128, q_chains=chains)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=2e-5, rtol=2e-5)

@@ -67,6 +67,7 @@ def test_attention_dispatch_logic(monkeypatch, rng):
     q = jnp.asarray(rng.standard_normal((1, 1, 1025, 64)), jnp.float32)
     out = attn.multi_head_attention(q, q, q, implementation="auto")
     assert "flash" in calls  # long sequence on "TPU" -> flash
+    assert calls["flash"]["path"] == "infer"  # deterministic -> infer table
 
     calls.clear()
     q_short = jnp.asarray(rng.standard_normal((1, 1, 197, 64)), jnp.float32)
@@ -81,3 +82,11 @@ def test_attention_dispatch_logic(monkeypatch, rng):
                               dropout_key=jax.random.PRNGKey(0),
                               deterministic=False)
     assert calls["flash"]["dropout_rate"] == 0.1
+    assert calls["flash"]["path"] == "train"  # grad path -> train table
+
+    # training WITHOUT dropout still dispatches the train table (the
+    # forward will be differentiated; its lse-writing tiles differ)
+    calls.clear()
+    attn.multi_head_attention(q, q, q, implementation="auto",
+                              deterministic=False)
+    assert calls["flash"]["path"] == "train"

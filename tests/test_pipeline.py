@@ -207,3 +207,78 @@ def test_pipeline_shape_errors(eight_devices):
                        mesh=mesh, n_microbatches=3)
     with pytest.raises(ValueError, match="devices"):
         create_pipeline_mesh((3, 2), devices=eight_devices)
+
+
+def test_pipeline_checkpoint_restores_for_plain_serving(eight_devices,
+                                                        tmp_path):
+    """Train with --pipeline, then serve/resume WITHOUT it: pipeline-mode
+    checkpoints store backbone.layers stacked (leading layer axis); every
+    plain restore path must unstack them (and a pipeline resume must accept
+    a plain checkpoint by stacking) — previously both directions raised a
+    misleading 'different model configuration' error."""
+    import dataclasses
+
+    from visiontransformer_tpu.ckpt.io import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from visiontransformer_tpu.configs import TrainConfig
+    from visiontransformer_tpu.parallel.pipeline import maybe_unstack_params
+    from visiontransformer_tpu.train import Trainer
+
+    batch = _ce_batch()
+    tcfg = TrainConfig(batch_size=16, accumulate_grad_batches=1,
+                       early_stopping_monitor=None, learning_rate=1e-3,
+                       mesh_shape=(4, 2), pipeline_stages=2)
+    pipe_tr = Trainer(NODROP, tcfg, task="ce")
+    state = pipe_tr.init_state()
+    state, _ = pipe_tr.train_step(state, batch, jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(str(tmp_path), {"params": state.params},
+                           epoch=0, step=1)
+
+    plain_tr = Trainer(NODROP, tcfg.__class__(
+        batch_size=16, accumulate_grad_batches=1,
+        early_stopping_monitor=None), task="ce", use_mesh=False)
+    plain_target = plain_tr.init_state().params
+
+    # (a) targeted restore with a plain (list-form) params target
+    restored = restore_checkpoint(ckpt, {"params": plain_target})["params"]
+    layers = restored["backbone"]["layers"]
+    assert isinstance(layers, list) and len(layers) == 4
+    stacked = np.asarray(state.params["backbone"]["layers"]["mlp_in"]["kernel"])
+    for i, layer in enumerate(layers):
+        np.testing.assert_array_equal(np.asarray(layer["mlp_in"]["kernel"]),
+                                      stacked[i])
+    # the unstacked params drive the plain model identically
+    out = vitseg_apply(restored, jnp.asarray(batch["image"]), NODROP,
+                       deterministic=True)
+    out_ref = vitseg_apply(
+        maybe_unstack_params(jax.tree.map(np.asarray, dict(state.params))),
+        jnp.asarray(batch["image"]), NODROP, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # (b) no-target restore + maybe_unstack_params (the resolve_model path)
+    raw = restore_checkpoint(ckpt)["params"]
+    assert isinstance(raw["backbone"]["layers"], dict)
+    unstacked = maybe_unstack_params(raw)
+    assert isinstance(unstacked["backbone"]["layers"], list)
+
+    # (c) reverse: a PLAIN checkpoint restores onto a pipeline target
+    plain_ckpt = save_checkpoint(str(tmp_path / "plain"),
+                                 {"params": plain_target}, epoch=0, step=1)
+    pipe_target = pipe_tr.init_state().params
+    host_pipe_target = jax.tree.map(np.asarray, dict(pipe_target))
+    back = restore_checkpoint(plain_ckpt,
+                              {"params": host_pipe_target})["params"]
+    assert not isinstance(back["backbone"]["layers"], list)
+    np.testing.assert_array_equal(
+        np.asarray(back["backbone"]["layers"]["mlp_in"]["kernel"])[2],
+        np.asarray(plain_target["backbone"]["layers"][2]["mlp_in"]["kernel"]))
+
+    # a genuinely mismatched config still fails loudly
+    wrong = dataclasses.replace(
+        NODROP, vit=dataclasses.replace(NODROP.vit, hidden_size=32))
+    wrong_params = vitseg_init(jax.random.PRNGKey(0), wrong)
+    with pytest.raises(ValueError, match="different model configuration"):
+        restore_checkpoint(ckpt, {"params": wrong_params})

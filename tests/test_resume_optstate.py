@@ -134,3 +134,19 @@ def test_partial_restore_new_ckpt_old_target(rng, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["head"]["kernel"]),
         np.asarray(state.params["head"]["kernel"]))
+
+
+def test_non_dict_rooted_checkpoint_clear_error(tmp_path):
+    """A non-dict-rooted checkpoint with a dict target fails with the
+    explicit 'not a dict-rooted tree' ValueError, not an AttributeError
+    from metadata introspection."""
+    import pytest
+
+    from visiontransformer_tpu.ckpt.io import (
+        restore_checkpoint as _restore,
+        save_checkpoint as _save,
+    )
+
+    path = _save(str(tmp_path), [np.zeros((2,), np.float32)], epoch=0, step=0)
+    with pytest.raises(ValueError, match="dict-rooted"):
+        _restore(path, {"params": np.zeros((2,), np.float32)})

@@ -663,3 +663,25 @@ def test_serve_cli_args_reach_server_parser():
     # defaults keep the worker on and the cache off
     d = build_arg_parser().parse_args([])
     assert d.mesh is None and d.compilation_cache is None and not d.no_worker
+
+
+def test_model_runner_rejects_float_images(tmp_path):
+    """The jitted forward normalizes uint8 on-device (/255); a caller
+    passing pre-normalized floats would silently get a second /255 and
+    near-black inputs — dispatch must reject non-uint8 batches."""
+    import visiontransformer_tpu.models.registry as registry_mod
+    import visiontransformer_tpu.serve.worker as worker_mod
+    from visiontransformer_tpu.configs import SweepEntry
+
+    orig = registry_mod.sweep_by_name
+    registry_mod.sweep_by_name = lambda name: SweepEntry(0, 16, 64, 1, 4)
+    try:
+        row = {"config_name": "P16H512A8", "num_classes": 5,
+               "input_size": 32, "checkpoint_path": ""}
+        runner = worker_mod.ModelRunner(row, compute_dtype="float32",
+                                        buckets=(1,))
+        with pytest.raises(TypeError, match="uint8"):
+            runner.predict(np.zeros((1, 32, 32, 3), np.float32))
+        runner.predict(np.zeros((1, 32, 32, 3), np.uint8))  # fine
+    finally:
+        registry_mod.sweep_by_name = orig

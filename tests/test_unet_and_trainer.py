@@ -127,3 +127,39 @@ def test_vit_remat_grads_match(rng):
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_accumulation_is_mean_of_micro_gradients(rng):
+    """train_step with accumulate_grad_batches=N applies Adam to the MEAN
+    of the per-micro-batch gradients (Lightning's accumulate_grad_batches
+    semantics, reference model/CE/createViTmodel.py:74) — pinned explicitly
+    now that the add rides in the grad program's epilogue and the 1/N scale
+    inside the update program."""
+    import optax
+
+    cfg = UNetConfig(encoder_name="small", num_classes=4, normalize=False)
+    tcfg = TrainConfig(batch_size=8, accumulate_grad_batches=2,
+                       early_stopping_monitor=None, learning_rate=1e-3)
+    trainer = Trainer(cfg, tcfg, task="smp_multiclass", model="unet",
+                      use_mesh=False)
+    state = trainer.init_state()
+    images = rng.random((8, 32, 32, 3)).astype(np.float32)
+    masks = rng.integers(0, 4, (8, 32, 32)).astype(np.int32)
+    batch = {"image": images, "mask": masks}
+    key = jax.random.PRNGKey(5)
+
+    # manual reference: mean of the two micro-batch grads -> one Adam step
+    grad_step = trainer._build_grad_step()
+    micro = {k: v[:4] for k, v in batch.items()}
+    micro2 = {k: v[4:] for k, v in batch.items()}
+    g0, _ = grad_step(state.params, micro, jax.random.fold_in(key, 0))
+    g1, _ = grad_step(state.params, micro2, jax.random.fold_in(key, 1))
+    mean_g = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+    updates, _ = trainer.optimizer.update(mean_g, state.opt_state,
+                                          state.params)
+    want = optax.apply_updates(state.params, updates)
+
+    got_state, _ = trainer.train_step(state, batch, key)
+    for a, b in zip(jax.tree.leaves(got_state.params), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

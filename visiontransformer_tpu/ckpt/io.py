@@ -36,6 +36,8 @@ def _abstract_like(leaf):
     shard from disk; no leaf is ever fully materialized on host)."""
     import jax
 
+    if isinstance(leaf, jax.ShapeDtypeStruct):
+        return leaf
     if isinstance(leaf, jax.Array):
         return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
                                     sharding=leaf.sharding)
@@ -47,7 +49,91 @@ def _disk_keys(path: str):
     """Top-level keys of the on-disk pytree, from metadata only (no reads)."""
     with ocp.StandardCheckpointer() as ckptr:
         meta = ckptr.metadata(path).item_metadata
-    return list(meta.keys())
+    try:
+        # The orbax metadata wrapper exposes .keys() even for list-rooted
+        # trees and only fails inside the call — normalize to a clear error.
+        return list(meta.keys())
+    except (AttributeError, TypeError) as e:
+        raise ValueError(
+            f"checkpoint at {path} is not a dict-rooted tree; cannot "
+            "partially restore (pass partial=False or a matching target)"
+        ) from e
+
+
+def _try_pipeline_layer_convert(ptc, path: str, target_params):
+    """Restore params whose on-disk backbone.layers form differs from the
+    target's by pipeline stacking (train/trainer.py stores layers STACKED
+    with a leading layer axis in pipeline mode; plain models keep a
+    per-layer list). Returns the params in the TARGET's form, or None if
+    this is not a stacking mismatch. Sharding hints are dropped on the
+    converted subtree (callers re-place params via state_from_params /
+    resolve_model)."""
+    import jax
+
+    backbone = (target_params.get("backbone")
+                if isinstance(target_params, dict) else None)
+    layers = backbone.get("layers") if isinstance(backbone, dict) else None
+
+    if isinstance(layers, (list, tuple)) and layers:
+        # Target wants the list form; try the stacked on-disk layout.
+        from visiontransformer_tpu.parallel.pipeline import (
+            unstack_stage_params)
+        n = len(layers)
+
+        def stacked_leaf(x):
+            a = _abstract_like(x)
+            return jax.ShapeDtypeStruct((n,) + a.shape, a.dtype)
+
+        alt_layers = jax.tree.map(stacked_leaf, layers[0])
+        unstack = unstack_stage_params
+    elif isinstance(layers, dict) and jax.tree.leaves(layers):
+        # Target wants the stacked form (pipeline resume); try the list
+        # layout a plain trainer wrote.
+        from visiontransformer_tpu.parallel.pipeline import (
+            stack_stage_params)
+
+        def layer_leaf(x):
+            a = _abstract_like(x)
+            return jax.ShapeDtypeStruct(a.shape[1:], a.dtype)
+
+        per_layer = jax.tree.map(layer_leaf, layers)
+        n = jax.tree.leaves(layers)[0].shape[0]
+        alt_layers = [per_layer] * n
+        unstack = stack_stage_params
+    else:
+        return None
+
+    alt = dict(target_params)
+    alt["backbone"] = dict(backbone)
+    alt["backbone"]["layers"] = alt_layers
+    # Restore to host numpy (the stacked<->list shapes can't reuse the
+    # target's shardings), convert, then place each leaf exactly like its
+    # target counterpart — the converted tree matches the target structure.
+    abs_alt = {"params": jax.tree.map(_abstract_like, alt)}
+    host_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), abs_alt)
+    try:
+        restored = ptc.restore(path, args=ocp.args.PyTreeRestore(
+            item=abs_alt, restore_args=host_args,
+            partial_restore=True))["params"]
+    except (TypeError, ValueError):
+        return None
+    # Host-numpy RestoreArgs don't enforce shapes — a genuinely mismatched
+    # config (different widths) would otherwise slip through here.
+    for got, want in zip(jax.tree.leaves(restored),
+                         jax.tree.leaves(abs_alt["params"])):
+        if tuple(np.shape(got)) != tuple(want.shape):
+            return None
+    restored = dict(restored)
+    restored["backbone"] = dict(restored["backbone"])
+    restored["backbone"]["layers"] = unstack(restored["backbone"]["layers"])
+
+    def place(x, t):
+        if isinstance(t, jax.Array):
+            return jax.device_put(x, t.sharding)
+        return x
+
+    return jax.tree.map(place, restored, target_params)
 
 
 def restore_checkpoint(path: str, target: Optional[Any] = None, *,
@@ -79,12 +165,27 @@ def restore_checkpoint(path: str, target: Optional[Any] = None, *,
             return ckptr.restore(path, target)
 
     on_disk = set(_disk_keys(path))
-    out = {}
+    out = {key: tval for key, tval in target.items()
+           if key not in on_disk}  # e.g. step/opt_state missing on old saves
+    present = {key: tval for key, tval in target.items() if key in on_disk}
     with ocp.PyTreeCheckpointer() as ptc:
-        for key, tval in target.items():
-            if key not in on_disk:
-                out[key] = tval  # e.g. step/opt_state missing on old saves
-                continue
+        # Fast path: ONE PyTreeRestore over every key present on disk (the
+        # per-key loop below re-opens the zarr store once per key); fall
+        # back per-key only when the whole-tree restore raises, so a
+        # mismatched opt_state still degrades gracefully.
+        try:
+            abs_all = {key: jax.tree.map(_abstract_like, tval)
+                       for key, tval in present.items()}
+            restored = ptc.restore(path, args=ocp.args.PyTreeRestore(
+                item=abs_all,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    abs_all),
+                partial_restore=True))
+            out.update({key: restored[key] for key in present})
+            return out
+        except (TypeError, ValueError):
+            pass
+        for key, tval in present.items():
             abs_sub = {key: jax.tree.map(_abstract_like, tval)}
             try:
                 restored = ptc.restore(path, args=ocp.args.PyTreeRestore(
@@ -95,14 +196,23 @@ def restore_checkpoint(path: str, target: Optional[Any] = None, *,
                 out[key] = restored[key]
             except (TypeError, ValueError) as e:
                 if key == "params":
+                    # A pipeline-mode checkpoint stores backbone.layers
+                    # STACKED (leading layer axis); plain targets expect a
+                    # per-layer list (and vice versa on pipeline resume).
+                    # Convert between the two forms before giving up.
+                    converted = _try_pipeline_layer_convert(ptc, path, tval)
+                    if converted is not None:
+                        out[key] = converted
+                        continue
                     # Same tree structure, different tensor shapes — e.g.
                     # resuming a 5-class run from a 17-class checkpoint.
                     # Param mismatch is never recoverable.
                     raise ValueError(
                         f"checkpoint at {path} does not match the target "
                         "model's parameter structure/shapes — it was "
-                        f"written by a different model configuration ({e})"
-                    ) from e
+                        "written by a different model configuration (note: "
+                        "pipeline-mode checkpoints store layers stacked; "
+                        f"both forms were tried) ({e})") from e
                 out[key] = tval  # e.g. opt_state from a different optimizer
     return out
 

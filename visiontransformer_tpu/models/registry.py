@@ -165,6 +165,15 @@ def resolve_model(family: str, config_name: str, *, num_classes: int,
 
         restored = restore_checkpoint(checkpoint_path)
         params = restored["params"] if "params" in restored else restored
+        if family == "vitseg":
+            # Checkpoints written in pipeline-parallel training store
+            # backbone.layers stacked (train/trainer.py init_state);
+            # serving/eval consume the per-layer list form.
+            from visiontransformer_tpu.parallel.pipeline import (
+                maybe_unstack_params,
+            )
+
+            params = maybe_unstack_params(params)
     elif checkpoint_path and checkpoint_path.endswith(".ckpt"):
         if family != "vitseg":
             raise ValueError(

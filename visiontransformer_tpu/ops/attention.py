@@ -64,13 +64,18 @@ def multi_head_attention(q, k, v, *, implementation: str = "auto",
 
     if implementation == "flash":
         from visiontransformer_tpu.ops.flash_attention import flash_attention
+        # `deterministic` distinguishes serving/eval forwards from training
+        # forwards that will be differentiated — the two dispatch different
+        # tuned block tables (inference optima differ from grad optima at
+        # N=1025; ops/flash_attention._TUNED_BLOCKS_*).
+        path = "infer" if deterministic else "train"
         if deterministic or dropout_rate == 0.0:
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, path=path)
         # Seed rides through a float32 carrier (custom-vjp plumbing); stay
         # within f32-exact integer range.
         seed = jax.random.randint(dropout_key, (), 0, 2**23)
         return flash_attention(q, k, v, dropout_rate=dropout_rate,
-                               dropout_seed=seed)
+                               dropout_seed=seed, path=path)
     if implementation == "xla":
         return _xla_attention(q, k, v, dropout_rate=dropout_rate,
                               dropout_key=dropout_key,

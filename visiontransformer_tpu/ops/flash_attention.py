@@ -169,25 +169,43 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *out_refs,
 
 
 # Measured-on-v5e tile choices per padded length (chained-iteration timing,
-# scripts/tune_flash.py + tune_flash3.py; see git history for the tuning
+# scripts/tune_flash.py + tune_flash3/4/5.py; see git history for the tuning
 # runs). Key: n at 128 granularity -> (block_q, block_k, n_pad, q_chains).
 # block_q is the PER-CHAIN q tile; a program fetches block_q*q_chains rows.
 # Anything else falls back to single-chain 512-blocks at 512-pad.
-_TUNED_BLOCKS = {
+#
+# SPLIT BY PATH since round 4: inference (no-lse forward, never
+# differentiated) and training (forward writes lse + the custom-VJP
+# backward reuses the same tiles) have different optima — round 3 measured
+# chains=3 at N=1025 as 1.13x on the no-lse forward but 3% slower on grad,
+# so a single table had to leave the inference win on the table
+# (docs/PERFORMANCE.md). The headline bench and every serving path are
+# inference; training dispatches its own entries.
+_TUNED_BLOCKS_INFER = {
     256: (256, 256, 256, 1),    # N=197  (224px, P16): ties XLA (1.00x)
     896: (512, 1024, 1024, 1),  # N=785  (224px, P8): chains tied (r3 sweep)
-    1152: (192, 1152, 1152, 2), # N=1025 (512px, P16): 2 chains 1.05-1.16x
-                                # the single-chain kernel (tune_flash3/4)
-    3200: (320, 640, 3200, 2),  # N=3137 (224px, P4): 2 chains 1.02x fwd,
-                                # 1.015x grad over single-chain 640-tiles
+    1152: (128, 1152, 1152, 3), # N=1025 (512px, P16): 3 chains 1.13x on the
+                                # no-lse fwd (r3 sweep, confirmed r4)
+    3200: (320, 640, 3200, 2),  # N=3137 (224px, P4): 2 chains 1.02x fwd
+}
+_TUNED_BLOCKS_TRAIN = {
+    256: (256, 256, 256, 1),
+    896: (512, 1024, 1024, 1),  # N=785: chains tied on grad too
+    1152: (192, 1152, 1152, 2), # N=1025: 2 chains best incl. backward
+                                # (chains=3 is 3% slower on grad)
+    3200: (320, 640, 3200, 2),  # N=3137: 1.015x grad over single-chain
 }
 
 
-def choose_blocks(n: int):
-    """(block_q, block_k, n_pad, q_chains) for a sequence length."""
+def choose_blocks(n: int, path: str = "infer"):
+    """(block_q, block_k, n_pad, q_chains) for a sequence length.
+
+    path: "infer" (no-lse forward) or "train" (lse forward + custom-VJP
+    backward at the same tile sizes)."""
+    table = _TUNED_BLOCKS_TRAIN if path == "train" else _TUNED_BLOCKS_INFER
     key = _round_up(n, 128)
-    if key in _TUNED_BLOCKS:
-        return _TUNED_BLOCKS[key]
+    if key in table:
+        return table[key]
     n_pad = _round_up(n, 512)
     return min(512, n_pad), min(512, n_pad), n_pad, 1
 
@@ -199,7 +217,11 @@ def _fwd(q, k, v, seed, *, block_q: int, block_k: int, interpret: bool,
     scale = 1.0 / (d ** 0.5)
     super_q = block_q * q_chains               # rows fetched per program
     if n_pad is None:
-        n_pad = _round_up(n, max(super_q, block_k))
+        # lcm, not max: a max() round-up under-covers K whenever the two
+        # block sizes are not multiples of each other (the public wrapper
+        # guards this too; direct callers like the tuning scripts hit this
+        # default).
+        n_pad = _round_up(n, math.lcm(super_q, block_k))
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
     seed_i = seed.astype(jnp.int32).reshape(1)
@@ -349,7 +371,7 @@ def _bwd(block_q, block_k, interpret, res, g, n_pad: Optional[int] = None,
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
     if n_pad is None:
-        n_pad = _round_up(n, max(block_q, block_k))
+        n_pad = _round_up(n, math.lcm(block_q, block_k))  # lcm: see _fwd
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
@@ -431,13 +453,19 @@ def flash_attention(q, k, v, *, block_q: Optional[int] = None,
                     interpret: Optional[bool] = None,
                     dropout_rate: float = 0.0,
                     dropout_seed=None,
-                    q_chains: Optional[int] = None):
+                    q_chains: Optional[int] = None,
+                    path: Optional[str] = None):
     """Softmax attention over (B, H, N, D) tensors, O(N) memory.
 
     Numerically equivalent to ops.attention's XLA path; exposed through
     multi_head_attention(implementation="flash"). Default block size comes
     from a measured-on-v5e table (choose_blocks): 512²-tile streaming beats
     the XLA attention 1.55× at N=3137 and 1.5× at N=1025.
+
+    path: "infer" or "train" — selects the per-path tuned block table
+    (choose_blocks). Defaults to "train" when dropout is active (only the
+    training path drops), "infer" otherwise; multi_head_attention passes it
+    explicitly from its `deterministic` flag.
 
     dropout_rate > 0 applies attention-probs dropout *inside* the kernel
     (the reference trains with attention_probs_dropout_prob=0.1): masks are
@@ -447,9 +475,11 @@ def flash_attention(q, k, v, *, block_q: Optional[int] = None,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if path is None:
+        path = "train" if dropout_rate > 0.0 else "infer"
     b, h, n, d = q.shape
     if block_q is None or block_k is None:
-        auto_q, auto_k, n_pad, auto_chains = choose_blocks(n)
+        auto_q, auto_k, n_pad, auto_chains = choose_blocks(n, path)
         block_q = block_q or auto_q
         block_k = block_k or auto_k
         q_chains = q_chains or auto_chains

@@ -71,6 +71,28 @@ def stack_stage_params(layers: Sequence[dict]):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
+def unstack_stage_params(stacked):
+    """Inverse of stack_stage_params: split the leading layer axis back into
+    the per-layer list form models/vit.py consumes. Used when a checkpoint
+    written in pipeline mode (stacked layers) is restored for plain
+    serving/eval or a non-pipeline Trainer resume."""
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    return [jax.tree.map(lambda x, i=i: x[i], stacked) for i in range(n)]
+
+
+def maybe_unstack_params(params):
+    """Normalize a restored vitseg param tree: if backbone.layers came back
+    in the pipeline-stacked form (one mapping with a leading layer axis
+    instead of a per-layer list), unstack it. No-op otherwise."""
+    backbone = params.get("backbone") if isinstance(params, dict) else None
+    layers = backbone.get("layers") if isinstance(backbone, dict) else None
+    if isinstance(layers, dict) and jax.tree.leaves(layers):
+        params = dict(params)
+        params["backbone"] = dict(backbone)
+        params["backbone"]["layers"] = unstack_stage_params(layers)
+    return params
+
+
 def pipeline_apply(x: jnp.ndarray, stacked_layers, layer_fn: Callable,
                    *, mesh: Mesh, n_microbatches: int,
                    rng: Optional[jax.Array] = None) -> jnp.ndarray:

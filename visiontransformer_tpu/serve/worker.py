@@ -121,6 +121,13 @@ class ModelRunner:
     def dispatch(self, images: np.ndarray):
         """(B, H, W, 3) uint8 -> async device masks handle (padded to a
         bucket). Call resolve() on the handle to get (B, H, W) class ids."""
+        if images.dtype != np.uint8:
+            # The jitted forward divides by 255 on-device; a caller passing
+            # the old pre-normalized [0,1] floats would get a second /255
+            # and near-black inputs with no error.
+            raise TypeError(
+                f"ModelRunner.dispatch expects uint8 images (0..255, the "
+                f"/255 normalization runs on-device), got {images.dtype}")
         b = images.shape[0]
         bucket = next((s for s in self.buckets if s >= b), self.buckets[-1])
         if b < bucket:

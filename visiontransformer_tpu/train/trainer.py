@@ -219,10 +219,15 @@ class Trainer:
     # gradients + backward activations live in a single program; at the
     # 0.33B-param sweep configs that exceeds HBM and this runtime silently
     # spills (measured 30+ s/step fused vs ~0.2 s split). The extra dispatch
-    # costs ~2 ms. Gradient accumulation is a lax.scan over micro-batches
-    # inside the gradient program (same averaged-gradient semantics as
-    # Lightning's accumulate_grad_batches; reference createViTmodel.py:74).
-    def _build_grad_step(self, grad_shardings=None):
+    # costs ~2 ms. Gradient accumulation folds INTO those two programs
+    # (same averaged-gradient semantics as Lightning's
+    # accumulate_grad_batches; reference createViTmodel.py:74): micro-batch
+    # i>0 dispatches a grad program whose epilogue adds into the running
+    # accumulator, and the 1/accum scale rides inside the optimizer update —
+    # the round-3 profile measured the standalone add×3 + scale dispatches
+    # as 24 ms/step (10.8%) of pure HBM pytree traffic
+    # (docs/PERFORMANCE.md train profile).
+    def _build_grad_step(self, grad_shardings=None, *, accumulate=False):
         task_fn, cfg = self.task_fn, self.seg_cfg
 
         def gradients(params, batch, rng):
@@ -232,31 +237,33 @@ class Trainer:
                 loss_fn, has_aux=True)(params)
             return grads, metrics
 
+        def gradients_acc(params, acc, batch, rng):
+            grads, metrics = gradients(params, batch, rng)
+            # Accumulate in the SAME program: XLA fuses the add into the
+            # gradient finalization, replacing a standalone pytree-add
+            # dispatch that re-reads both operand trees from HBM.
+            return jax.tree.map(jnp.add, acc, grads), metrics
+
+        fn = gradients_acc if accumulate else gradients
         if grad_shardings is None:
-            return jax.jit(gradients)
+            return jax.jit(fn)
         # FSDP: pin gradient outputs to the params' sharded layout so XLA
         # lowers the data-axis gradient psum to a reduce-scatter and the
         # accumulated/stored gradients stay dp-sharded (ZeRO memory law).
-        return jax.jit(gradients, out_shardings=(
+        return jax.jit(fn, out_shardings=(
             grad_shardings, replicated(self.mesh)))
-
-    def _build_accum_step(self):
-        accum = self.train_cfg.accumulate_grad_batches
-
-        def add(acc, grads):
-            return jax.tree.map(jnp.add, acc, grads)
-
-        def scale(acc):
-            return jax.tree.map(lambda g: g / accum, acc)
-
-        return jax.jit(add), jax.jit(scale)
 
     def _build_update_step(self):
         import optax
 
         optimizer = self.optimizer
+        accum = self.train_cfg.accumulate_grad_batches
 
         def update(state: TrainState, grads):
+            if accum > 1:
+                # The accumulated sum -> mean scale lives here (one fused
+                # program) instead of a standalone pytree-scale dispatch.
+                grads = jax.tree.map(lambda g: g / accum, grads)
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params)
             return TrainState(
@@ -293,7 +300,9 @@ class Trainer:
         """One optimizer step: accumulate gradients over
         ``accumulate_grad_batches`` micro-batches (separate dispatches of one
         small compiled program each — in-program lax.scan over the micro axis
-        measured pathologically slow on this runtime), then apply the update."""
+        measured pathologically slow on this runtime; the add rides in the
+        grad program's epilogue and the 1/accum scale in the update, so no
+        standalone pytree-traffic dispatches remain), then apply the update."""
         if self._train_step is None:
             grad_shardings = None
             if self.mesh is not None and (self.train_cfg.fsdp
@@ -301,10 +310,14 @@ class Trainer:
                 # Pin gradients to the params' sharded layout (FSDP: dp-
                 # sharded ZeRO grads; pipeline: stage-sharded layer grads).
                 grad_shardings = self._param_shardings(state.params)
+            grad_acc_step = None
+            if self.train_cfg.accumulate_grad_batches > 1:
+                grad_acc_step = self._build_grad_step(grad_shardings,
+                                                      accumulate=True)
             self._train_step = (self._build_grad_step(grad_shardings),
-                                self._build_accum_step(),
+                                grad_acc_step,
                                 self._build_update_step())
-        grad_step, (add_step, scale_step), update_step = self._train_step
+        grad_step, grad_acc_step, update_step = self._train_step
         accum = self.train_cfg.accumulate_grad_batches
 
         if accum == 1:
@@ -318,15 +331,18 @@ class Trainer:
         for i in range(accum):
             micro = {k: v[i * micro_size:(i + 1) * micro_size]
                      for k, v in batch.items()}
-            grads, metrics = grad_step(state.params,
-                                       self._place_batch(micro),
-                                       jax.random.fold_in(rng, i))
+            micro_rng = jax.random.fold_in(rng, i)
+            if acc is None:
+                acc, metrics = grad_step(state.params,
+                                         self._place_batch(micro), micro_rng)
+            else:
+                acc, metrics = grad_acc_step(state.params, acc,
+                                             self._place_batch(micro),
+                                             micro_rng)
             metric_list.append(metrics)
-            acc = grads if acc is None else add_step(acc, grads)
-        grads = scale_step(acc)
         mean_metrics = {k: jnp.mean(jnp.stack([m[k] for m in metric_list]))
                         for k in metric_list[0]}
-        return update_step(state, grads), mean_metrics
+        return update_step(state, acc), mean_metrics
 
     def eval_step(self, params, batch) -> Dict[str, jnp.ndarray]:
         if self._eval_step is None:
