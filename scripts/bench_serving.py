@@ -19,6 +19,20 @@ Env knobs:
   WORKER_ONLY=1  skip HTTP: create jobs straight in the store and measure
                  claim->decode->TPU->postprocess->DONE
   N_JOBS / N_CLIENTS  job and client counts
+
+Split-process mode (round-4: isolate the HTTP clients' host-CPU cost from
+the stack's — on this single-core host the in-process clients contend with
+the server+worker for the same core, so the full-stack number conflates
+bench-client cost with stack cost):
+  SERVE_ONLY=1       stand up store+worker+server only; print "READY <port>",
+                     then wait until N_JOBS reach DONE/FAILED and report the
+                     server-side window (first job created -> last done) and
+                     this process's CPU time over it.
+  CLIENT_ONLY=<url>  drive the client load against an external server (no
+                     jax import in this process); report wall jobs/s and
+                     this process's CPU time.
+Both processes print `process_cpu`: if client CPU + server CPU ≈ wall (core
+saturated) the full-stack gap is bench-client contention, not stack cost.
 """
 
 import io
@@ -40,6 +54,8 @@ SERVE_CONFIG = os.environ.get("SERVE_CONFIG", "P16H768A12")
 SERVE_FAMILY = os.environ.get("SERVE_FAMILY", "vitseg")
 SERVE_INPUT = int(os.environ.get("SERVE_INPUT", "224"))
 WORKER_ONLY = os.environ.get("WORKER_ONLY", "") == "1"
+SERVE_ONLY = os.environ.get("SERVE_ONLY", "") == "1"
+CLIENT_ONLY = os.environ.get("CLIENT_ONLY", "")
 
 
 def make_client(base, username):
@@ -109,6 +125,81 @@ def submit_and_wait(opener, jar, csrf, base, png_bytes, model_id):
     return "TIMEOUT"
 
 
+def _png_payload():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        (rng.random((384, 384, 3)) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    return buf.getvalue()
+
+
+def client_main(base: str) -> None:
+    """Client-process half of the split bench: pure stdlib HTTP (no jax),
+    so its reported process CPU is exactly the bench-client cost."""
+    png_bytes = _png_payload()
+    model_id = json.loads(urllib.request.urlopen(
+        base + "/api/vision-models/").read())["results"][0]["id"]
+    print(f"driving {N_JOBS} jobs from {N_CLIENTS} clients (split process)...")
+    clients = [make_client(base, f"xuser{os.getpid()}_{i}")
+               for i in range(N_CLIENTS)]
+    results = []
+    t0, c0 = time.perf_counter(), time.process_time()
+    with ThreadPoolExecutor(max_workers=N_CLIENTS) as pool:
+        futs = [pool.submit(submit_and_wait, *clients[i % N_CLIENTS],
+                            base, png_bytes, model_id)
+                for i in range(N_JOBS)]
+        results = [f.result() for f in futs]
+    dt = time.perf_counter() - t0
+    cpu = time.process_time() - c0
+    print(f"{results.count('DONE')}/{N_JOBS} DONE, "
+          f"{results.count('FAILED')} FAILED, "
+          f"{results.count('TIMEOUT')} TIMEOUT")
+    print(f"client process: {N_JOBS / dt:.1f} jobs/s over {dt:.1f}s; "
+          f"process_cpu {cpu:.1f}s ({cpu / dt * 100:.0f}% of one core)")
+
+
+def serve_main() -> None:
+    """Server-process half: stack only. Reports the server-side completion
+    window and this process's CPU consumption over it."""
+    from visiontransformer_tpu.serve.server import create_server
+    from visiontransformer_tpu.serve.store import JobStore
+    from visiontransformer_tpu.serve.worker import InferenceWorker
+
+    tmp = tempfile.mkdtemp(prefix="bench_serving_srv_")
+    store = JobStore(os.path.join(tmp, "db.sqlite"),
+                     media_root=os.path.join(tmp, "media"))
+    store.register_model(
+        f"{SERVE_FAMILY}-{SERVE_CONFIG}-damage", num_classes=17,
+        config_name=SERVE_CONFIG, model_family=SERVE_FAMILY,
+        input_size=SERVE_INPUT, description="bench model")
+    worker = InferenceWorker(store, warmup=True, buckets=(8, 32))
+    server, _ = create_server(store, host="127.0.0.1",
+                              port=int(os.environ.get("SERVE_PORT", "0")),
+                              worker=worker)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    worker.start()
+    print(f"READY {port}", flush=True)
+
+    # Wait for the first job, then measure until N_JOBS complete.
+    while store.count_jobs() == 0:
+        time.sleep(0.05)
+    t0, c0 = time.perf_counter(), time.process_time()
+    deadline = time.time() + 600
+    finished = 0
+    while finished < N_JOBS and time.time() < deadline:
+        finished = store.count_jobs("DONE") + store.count_jobs("FAILED")
+        time.sleep(0.05)
+    dt = time.perf_counter() - t0
+    cpu = time.process_time() - c0
+    print(f"server process: {finished / dt:.1f} jobs/s completion rate "
+          f"over {dt:.1f}s; process_cpu {cpu:.1f}s "
+          f"({cpu / dt * 100:.0f}% of one core)", flush=True)
+    server.shutdown()
+    worker.stop()
+
+
 def main():
     from visiontransformer_tpu.serve.store import JobStore
     from visiontransformer_tpu.serve.worker import InferenceWorker
@@ -167,23 +258,30 @@ def main():
     clients = [make_client(base, f"user{i}") for i in range(N_CLIENTS)]
 
     results = []
-    t0 = time.perf_counter()
+    t0, c0 = time.perf_counter(), time.process_time()
     with ThreadPoolExecutor(max_workers=N_CLIENTS) as pool:
         futs = [pool.submit(submit_and_wait, *clients[i % N_CLIENTS],
                             base, png_bytes, model_id)
                 for i in range(N_JOBS)]
         results = [f.result() for f in futs]
     dt = time.perf_counter() - t0
+    cpu = time.process_time() - c0
 
     done = results.count("DONE")
     print(f"{done}/{N_JOBS} DONE, {results.count('FAILED')} FAILED, "
           f"{results.count('TIMEOUT')} TIMEOUT")
     print(f"end-to-end: {N_JOBS / dt:.1f} jobs/s over {dt:.1f}s "
           f"({N_CLIENTS} clients, {SERVE_FAMILY} {SERVE_CONFIG} "
-          f"@{SERVE_INPUT})")
+          f"@{SERVE_INPUT}); process_cpu {cpu:.1f}s "
+          f"({cpu / dt * 100:.0f}% of one core, clients+stack combined)")
     server.shutdown()
     worker.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if CLIENT_ONLY:
+        client_main(CLIENT_ONLY.rstrip("/"))
+    elif SERVE_ONLY:
+        serve_main()
+    else:
+        main()

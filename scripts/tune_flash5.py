@@ -17,8 +17,11 @@ iterations inside one jit for fwd, best-of-N, scalar readback sync.
 """
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -181,19 +181,25 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *out_refs,
 # so a single table had to leave the inference win on the table
 # (docs/PERFORMANCE.md). The headline bench and every serving path are
 # inference; training dispatches its own entries.
+# Round-4 re-sweep (scripts/tune_flash5.py, in-process A/B per N; the
+# per-path deltas are 1-6% and the 1025/3137 train entries reproduced
+# round 3's picks exactly):
 _TUNED_BLOCKS_INFER = {
     256: (256, 256, 256, 1),    # N=197  (224px, P16): ties XLA (1.00x)
-    896: (512, 1024, 1024, 1),  # N=785  (224px, P8): chains tied (r3 sweep)
-    1152: (128, 1152, 1152, 3), # N=1025 (512px, P16): 3 chains 1.13x on the
-                                # no-lse fwd (r3 sweep, confirmed r4)
-    3200: (320, 640, 3200, 2),  # N=3137 (224px, P4): 2 chains 1.02x fwd
+    896: (448, 896, 896, 1),    # N=785  (224px, P8): 1.064x the 1024-pad
+                                # single-chain on the no-lse fwd (r4 sweep)
+    1152: (144, 1152, 1152, 4), # N=1025 (512px, P16): 4 chains 1.019x the
+                                # 2-chain train entry on the no-lse fwd
+    3200: (640, 640, 3200, 1),  # N=3137 (224px, P4): single-chain 640
+                                # tiles 1.016x the 2-chain on fwd
 }
 _TUNED_BLOCKS_TRAIN = {
     256: (256, 256, 256, 1),
-    896: (512, 1024, 1024, 1),  # N=785: chains tied on grad too
+    896: (224, 896, 896, 2),    # N=785: 2 chains 1.028x on grad+dropout
     1152: (192, 1152, 1152, 2), # N=1025: 2 chains best incl. backward
-                                # (chains=3 is 3% slower on grad)
+                                # (confirmed r4; more chains lose on grad)
     3200: (320, 640, 3200, 2),  # N=3137: 1.015x grad over single-chain
+                                # (confirmed r4)
 }
 
 
