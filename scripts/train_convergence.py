@@ -26,6 +26,7 @@ import tempfile
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 OUT_ROOT = os.path.join(REPO, "examples", "convergence")
 
 N_SAMPLES = int(os.environ.get("CONV_SAMPLES", 240))

@@ -6,7 +6,7 @@ reference model/CE/createViTmodel.py:73; no collective anywhere — SURVEY.md
 sharded over "data", and optional tensor parallelism over "model" for the
 MLP/QKV contractions; XLA inserts the psum/all-gather collectives over ICI.
 
-At the reference's scale (≤0.33B params) pure data parallelism is the right
+At the reference's scale (≤171M params; largest sweep config P16H1024A16) pure data parallelism is the right
 layout — "model" defaults to 1 — but the TP axis is real and exercised by
 __graft_entry__.dryrun_multichip on a virtual mesh.
 """

@@ -28,7 +28,7 @@ from visiontransformer_tpu.configs import TrainConfig
 def build_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Gradient accumulation is NOT handled here: optax.MultiSteps carries
     the accumulator through a lax.cond over the full optimizer state, which
-    measured catastrophically on v5e at 0.33B params (HBM copies/spill).
+    measured catastrophically on v5e at the 171M-param P16H1024A16 config (HBM copies/spill).
     The Trainer instead scans micro-batches inside the train step
     (train/trainer.py) — same averaged-gradient semantics as Lightning's
     accumulate_grad_batches (reference model/CE/createViTmodel.py:74)."""

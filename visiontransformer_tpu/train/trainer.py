@@ -217,7 +217,7 @@ class Trainer:
     # The train step is deliberately TWO compiled programs — gradients, then
     # the optimizer update — not one. Fusing them keeps params + moments +
     # gradients + backward activations live in a single program; at the
-    # 0.33B-param sweep configs that exceeds HBM and this runtime silently
+    # largest (171M-param) sweep configs that exceeds HBM and this runtime silently
     # spills (measured 30+ s/step fused vs ~0.2 s split). The extra dispatch
     # costs ~2 ms. Gradient accumulation folds INTO those two programs
     # (same averaged-gradient semantics as Lightning's
