@@ -107,8 +107,15 @@ def main(task: str):
         overrides["learning_rate"] = float(os.environ["CONV_LR"])
     if os.environ.get("CONV_NO_EARLYSTOP"):
         overrides["early_stopping_monitor"] = None
+    # CONV_ACCUM: micro-batching for configs whose full-batch backward
+    # overflows HBM (P4H1024A16: 3137 tokens x H1024 x 16 layers at batch 16
+    # measured RESOURCE_EXHAUSTED; micro-batch 4 fits). The reference trains
+    # with accumulate_grad_batches=4 (model/CE/createViTmodel.py:74), and the
+    # fused accumulate epilogue makes the extra dispatches ~free
+    # (docs/PERFORMANCE.md round-4 A/B).
+    accum = int(os.environ.get("CONV_ACCUM", 1))
     tcfg = dataclasses.replace(base, batch_size=BATCH,
-                               accumulate_grad_batches=1,
+                               accumulate_grad_batches=accum,
                                max_epochs=MAX_EPOCHS, **overrides)
 
     out_dir = os.path.join(OUT_ROOT, os.environ.get("CONV_TAG", task))
