@@ -92,7 +92,14 @@ def main():
         t0 = time.perf_counter()
         for _ in range(k):
             state, m = step(state)
-        _ = float(m["loss"])  # sync
+        # Sync on the FINAL program of the chain (the optimizer update's
+        # step counter), not m["loss"]: the loss is an output of the last
+        # grad program, so reading only it would leave the trailing
+        # scale/update dispatches outside the timed window — and the old
+        # variant trails strictly more work (the standalone scale dispatch
+        # this A/B exists to measure).
+        _ = int(state.step)
+        _ = float(m["loss"])
         return (time.perf_counter() - t0) / k
 
     # warm both

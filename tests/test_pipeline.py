@@ -282,3 +282,78 @@ def test_pipeline_checkpoint_restores_for_plain_serving(eight_devices,
     wrong_params = vitseg_init(jax.random.PRNGKey(0), wrong)
     with pytest.raises(ValueError, match="different model configuration"):
         restore_checkpoint(ckpt, {"params": wrong_params})
+
+
+def test_pipeline_checkpoint_resume_keeps_adam_moments(eight_devices,
+                                                       tmp_path):
+    """Cross-mode resume (pipeline -> plain) must carry the Adam moments:
+    the opt_state mu/nu trees hold layers in the same stacked form as the
+    params, so the targeted restore fails structurally — restore_checkpoint
+    grafts the raw on-disk tree onto the plain target (converting at the
+    layers node) instead of silently resetting the optimizer."""
+    from visiontransformer_tpu.ckpt.io import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from visiontransformer_tpu.configs import TrainConfig
+    from visiontransformer_tpu.train import Trainer
+
+    batch = _ce_batch()
+    pcfg = TrainConfig(batch_size=16, accumulate_grad_batches=1,
+                       early_stopping_monitor=None, learning_rate=1e-3,
+                       mesh_shape=(4, 2), pipeline_stages=2)
+    pipe_tr = Trainer(NODROP, pcfg, task="ce")
+    state = pipe_tr.init_state()
+    state, _ = pipe_tr.train_step(state, batch, jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(str(tmp_path), {"params": state.params,
+                                           "opt_state": state.opt_state,
+                                           "step": state.step},
+                           epoch=0, step=1)
+
+    plain_tr = Trainer(NODROP, TrainConfig(
+        batch_size=16, accumulate_grad_batches=1,
+        early_stopping_monitor=None, learning_rate=1e-3),
+        task="ce", use_mesh=False)
+    fresh = plain_tr.init_state()
+    restored = restore_checkpoint(ckpt, {"params": fresh.params,
+                                         "opt_state": fresh.opt_state,
+                                         "step": fresh.step})
+
+    # structure matches the plain target (layers back to the list form)
+    assert isinstance(restored["params"]["backbone"]["layers"], list)
+    mu = restored["opt_state"].inner_state[0].mu
+    assert isinstance(mu["backbone"]["layers"], list)
+
+    # and the values are the pipeline run's moments, not fresh zeros:
+    # compare against the stacked on-disk mu layer-by-layer
+    saved_mu = state.opt_state.inner_state[0].mu
+    stacked = np.asarray(saved_mu["backbone"]["layers"]["mlp_in"]["kernel"])
+    assert float(np.abs(stacked).sum()) > 0  # non-vacuous
+    for i, layer in enumerate(mu["backbone"]["layers"]):
+        np.testing.assert_allclose(
+            np.asarray(layer["mlp_in"]["kernel"]), stacked[i],
+            rtol=1e-6, atol=0)
+
+    # reverse direction: plain checkpoint -> pipeline target keeps moments
+    plain_state = fresh
+    plain_state, _ = plain_tr.train_step(plain_state, batch,
+                                         jax.random.PRNGKey(1))
+    plain_ckpt = save_checkpoint(str(tmp_path / "plain"),
+                                 {"params": plain_state.params,
+                                  "opt_state": plain_state.opt_state,
+                                  "step": plain_state.step},
+                                 epoch=0, step=1)
+    pipe_fresh = pipe_tr.init_state()
+    host_target = {
+        "params": jax.tree.map(np.asarray, dict(pipe_fresh.params)),
+        "opt_state": jax.tree.map(np.asarray, pipe_fresh.opt_state),
+        "step": np.asarray(pipe_fresh.step),
+    }
+    back = restore_checkpoint(plain_ckpt, host_target)
+    back_mu = back["opt_state"].inner_state[0].mu
+    assert not isinstance(back_mu["backbone"]["layers"], list)
+    want = np.asarray(plain_state.opt_state.inner_state[0]
+                      .mu["backbone"]["layers"][2]["mlp_in"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(back_mu["backbone"]["layers"]["mlp_in"]["kernel"])[2],
+        want, rtol=1e-6, atol=0)

@@ -136,6 +136,66 @@ def _try_pipeline_layer_convert(ptc, path: str, target_params):
     return jax.tree.map(place, restored, target_params)
 
 
+def _graft_convert(raw, target):
+    """Graft an Orbax raw-restored tree (namedtuples come back as dicts
+    keyed by field name, tuples as lists, leaves as host/device arrays)
+    onto ``target``'s structure, converting pipeline-stacked backbone
+    layers (stacked dict <-> per-layer list, train/trainer.py pipeline
+    mode) wherever the two forms disagree — this is what lets a plain
+    resume recover the Adam moments from a pipeline-mode checkpoint and
+    vice versa. Returns values in the TARGET's structure, placed on the
+    target leaves' shardings. Raises ValueError on any non-stacking
+    mismatch."""
+    import jax
+
+    if target is None or raw is None:
+        # Orbax saves leafless subtrees (optax EmptyState, empty dicts) as
+        # None; keep the target's empty container in that case.
+        if raw is None and not jax.tree.leaves(target):
+            return target
+        if target is None and (raw is None or not jax.tree.leaves(raw)):
+            return None
+        raise ValueError("None vs non-None subtree")
+    is_namedtuple = hasattr(target, "_fields")
+    # Pipeline stacking conversion points (a namedtuple is a tuple — skip).
+    if (isinstance(target, (list, tuple)) and not is_namedtuple
+            and isinstance(raw, dict) and raw):
+        from visiontransformer_tpu.parallel.pipeline import (
+            unstack_stage_params)
+        raw = unstack_stage_params(raw)
+    elif isinstance(target, dict) and isinstance(raw, (list, tuple)) and raw:
+        from visiontransformer_tpu.parallel.pipeline import (
+            stack_stage_params)
+        raw = stack_stage_params(list(raw))
+    if is_namedtuple:
+        if not isinstance(raw, dict) or set(raw) != set(target._fields):
+            raise ValueError(
+                f"cannot graft onto {type(target).__name__}: on-disk keys "
+                f"{sorted(raw) if isinstance(raw, dict) else type(raw)}")
+        return type(target)(**{f: _graft_convert(raw[f], getattr(target, f))
+                               for f in target._fields})
+    if isinstance(target, dict):
+        if not isinstance(raw, dict) or set(raw) != set(target):
+            raise ValueError(
+                f"dict keys mismatch: disk "
+                f"{sorted(raw) if isinstance(raw, dict) else type(raw)} vs "
+                f"target {sorted(target)}")
+        return {k: _graft_convert(raw[k], target[k]) for k in target}
+    if isinstance(target, (list, tuple)):
+        if not isinstance(raw, (list, tuple)) or len(raw) != len(target):
+            raise ValueError("sequence length/type mismatch")
+        vals = [_graft_convert(r, t) for r, t in zip(raw, target)]
+        return tuple(vals) if isinstance(target, tuple) else vals
+    want = _abstract_like(target)
+    got = np.asarray(raw)
+    if tuple(got.shape) != tuple(want.shape):
+        raise ValueError(f"leaf shape {got.shape} vs target {want.shape}")
+    got = got.astype(want.dtype, copy=False)
+    if isinstance(target, jax.Array):
+        return jax.device_put(got, target.sharding)
+    return got
+
+
 def restore_checkpoint(path: str, target: Optional[Any] = None, *,
                        partial: bool = True) -> Any:
     """Restore a checkpoint onto ``target``.
@@ -185,6 +245,7 @@ def restore_checkpoint(path: str, target: Optional[Any] = None, *,
             return out
         except (TypeError, ValueError):
             pass
+        raw_tree = None
         for key, tval in present.items():
             abs_sub = {key: jax.tree.map(_abstract_like, tval)}
             try:
@@ -213,7 +274,25 @@ def restore_checkpoint(path: str, target: Optional[Any] = None, *,
                         "written by a different model configuration (note: "
                         "pipeline-mode checkpoints store layers stacked; "
                         f"both forms were tried) ({e})") from e
-                out[key] = tval  # e.g. opt_state from a different optimizer
+                # Non-params keys (opt_state): the mismatch is usually the
+                # pipeline stacked<->list layer form inside the Adam moment
+                # trees — graft the raw on-disk tree onto the target,
+                # converting at the mismatch points, so a cross-mode resume
+                # keeps its optimizer moments instead of silently resetting
+                # them.
+                try:
+                    if raw_tree is None:
+                        raw_tree = ptc.restore(path)
+                    out[key] = _graft_convert(raw_tree[key], tval)
+                except (TypeError, ValueError, KeyError):
+                    import warnings
+
+                    warnings.warn(
+                        f"checkpoint key {key!r} at {path} does not match "
+                        "the target structure and could not be converted; "
+                        f"keeping the freshly-initialized value ({e})",
+                        stacklevel=2)
+                    out[key] = tval  # e.g. opt_state from another optimizer
     return out
 
 

@@ -501,6 +501,10 @@ def cmd_export(args) -> int:
         path = get_latest_checkpoint(path)
     restored = restore_checkpoint(path)
     params = restored.get("params", restored)
+    # Pipeline-mode checkpoints store backbone.layers stacked (leading layer
+    # axis); torch_convert iterates the per-layer list form.
+    from visiontransformer_tpu.parallel.pipeline import maybe_unstack_params
+    params = maybe_unstack_params(params)
     step = int(np.asarray(restored["step"])) if "step" in restored else 0
     epoch = parse_epoch(path) or 0
     cfg = sweep_by_name(args.config).seg_config(num_classes=args.num_classes)

@@ -325,7 +325,13 @@ class Trainer:
                                        self._place_batch(batch), rng)
             return update_step(state, grads), metrics
 
-        micro_size = next(iter(batch.values())).shape[0] // accum
+        total = next(iter(batch.values())).shape[0]
+        if total % accum:
+            raise ValueError(
+                f"batch size {total} is not divisible by "
+                f"accumulate_grad_batches={accum}; the trailing "
+                f"{total % accum} samples would be silently dropped")
+        micro_size = total // accum
         acc = None
         metric_list = []
         for i in range(accum):
