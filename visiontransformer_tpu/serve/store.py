@@ -108,12 +108,16 @@ class JobStore:
             self._memory_conn = sqlite3.connect(":memory:",
                                                 check_same_thread=False)
             self._memory_lock = threading.Lock()
-        # Long-poll support: waiters block on this condition; every terminal
-        # job transition (DONE/FAILED) notifies. Cheaper by orders of
-        # magnitude than clients hammering GET /jobs/{id}/ in a sleep loop —
-        # on a single-core host the poll traffic alone was the serving
-        # bottleneck (measured: 37k polls saturating the core).
-        self._terminal_cv = threading.Condition()
+        # Long-poll support: each waiter registers a per-job Event; a
+        # terminal transition (DONE/FAILED) wakes only that job's waiters.
+        # Cheaper by orders of magnitude than clients hammering
+        # GET /jobs/{id}/ in a sleep loop (measured: 37k polls saturating
+        # the single core), and than a shared Condition.notify_all(), whose
+        # thundering herd woke every parked long-poller on every completion
+        # — N_clients SQLite re-reads per DONE (measured by sampling
+        # profile, docs/PERFORMANCE.md round 4).
+        self._waiters: Dict[str, List[threading.Event]] = {}
+        self._waiters_lock = threading.Lock()
         with self._conn() as c:
             c.executescript(_SCHEMA)
             # Migration for databases created before the model_family
@@ -127,29 +131,45 @@ class JobStore:
                 c.execute("ALTER TABLE vision_models ADD COLUMN"
                           " token_merge_r INTEGER NOT NULL DEFAULT 0")
 
-    def _notify_terminal(self) -> None:
-        with self._terminal_cv:
-            self._terminal_cv.notify_all()
+    def _notify_terminal(self, job_id: str) -> None:
+        with self._waiters_lock:
+            events = self._waiters.pop(job_id, ())
+        for ev in events:
+            ev.set()
 
     def wait_for_job(self, job_id: str, timeout: float) -> Optional[Dict]:
         """Return the job, blocking up to `timeout` seconds for it to reach
         a terminal status (DONE/FAILED). Returns the latest row either way."""
         deadline = time.monotonic() + max(0.0, min(timeout, 60.0))
-        job = self.get_job(job_id)
-        while job is not None and job["status"] in ("PENDING", "PROCESSING"):
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
-            with self._terminal_cv:
-                # Re-check the status while HOLDING the lock: a completion
-                # that lands between the unlocked get_job and wait() would
-                # otherwise notify no one and cost a full wait period.
-                job = self.get_job(job_id)
-                if job is None or job["status"] not in ("PENDING",
-                                                        "PROCESSING"):
-                    break
-                self._terminal_cv.wait(min(remaining, 5.0))
+        ev = threading.Event()
+        # Register BEFORE the status check: a completion landing between
+        # an unregistered check and the wait would notify no one and cost
+        # a full wait period.
+        with self._waiters_lock:
+            self._waiters.setdefault(job_id, []).append(ev)
+        try:
             job = self.get_job(job_id)
+            while job is not None and job["status"] in ("PENDING",
+                                                        "PROCESSING"):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                # 5 s safety tick: re-read even without a wakeup, in case a
+                # transition happened through a path that doesn't notify
+                # (e.g. another process writing the same SQLite file).
+                ev.wait(min(remaining, 5.0))
+                ev.clear()
+                job = self.get_job(job_id)
+        finally:
+            with self._waiters_lock:
+                lst = self._waiters.get(job_id)
+                if lst is not None:
+                    try:
+                        lst.remove(ev)
+                    except ValueError:
+                        pass
+                    if not lst:
+                        self._waiters.pop(job_id, None)
         return job
 
     def _conn(self):
@@ -356,7 +376,7 @@ class JobStore:
                 (mask_image_path, detections_json, _now(), job_id))
             if cur.rowcount == 0:
                 return None
-        self._notify_terminal()
+        self._notify_terminal(job_id)
         return self.get_job(job_id)
 
     def fail_job(self, job_id: str, error_message: str) -> None:
@@ -365,7 +385,7 @@ class JobStore:
                 "UPDATE jobs SET status='FAILED', error_message=?,"
                 " updated_at=? WHERE id=?",
                 (error_message[:1000], _now(), job_id))
-        self._notify_terminal()
+        self._notify_terminal(job_id)
 
     def count_jobs(self, status: Optional[str] = None) -> int:
         with self._conn() as c:
