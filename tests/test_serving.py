@@ -685,3 +685,50 @@ def test_model_runner_rejects_float_images(tmp_path):
         runner.predict(np.zeros((1, 32, 32, 3), np.uint8))  # fine
     finally:
         registry_mod.sweep_by_name = orig
+
+
+def test_wait_for_job_per_job_wakeups():
+    """Long-poll waiters are woken per job (round-4 fix: a shared
+    notify_all thundered every parked waiter through a SQLite re-read on
+    every completion). A completion must wake ITS waiter promptly, leave
+    waiters on other jobs parked, and a completion landing before the wait
+    call must return immediately (registration-before-check, no lost
+    wakeup)."""
+    store = JobStore(":memory:", media_root="/tmp/vtpu_wait_media")
+    store.register_model("m", num_classes=1, config_name="P16H512A8")
+    job_a = store.create_job(None, 1, "/tmp/a.png")
+    job_b = store.create_job(None, 1, "/tmp/b.png")
+
+    results = {}
+
+    def waiter(name, job_id, timeout):
+        t0 = time.monotonic()
+        job = store.wait_for_job(job_id, timeout)
+        results[name] = (job["status"], time.monotonic() - t0)
+
+    ta = threading.Thread(target=waiter, args=("a", job_a["id"], 30.0))
+    tb = threading.Thread(target=waiter, args=("b", job_b["id"], 1.0))
+    ta.start()
+    tb.start()
+    time.sleep(0.15)  # both parked
+    store.complete_job(job_a["id"], "/tmp/mask_a.png")
+    ta.join(timeout=5.0)
+    assert not ta.is_alive()
+    status_a, dt_a = results["a"]
+    assert status_a == "DONE"
+    assert dt_a < 2.0  # woken by the event, not the 5 s safety tick
+
+    tb.join(timeout=5.0)  # b's job never completes: times out at its 1 s
+    assert not tb.is_alive()
+    status_b, dt_b = results["b"]
+    assert status_b == "PENDING"
+    assert dt_b >= 0.9
+
+    # Waiter registry is cleaned up after both paths (wake and timeout).
+    assert store._waiters == {}
+
+    # Terminal-before-wait: returns immediately with the final status.
+    t0 = time.monotonic()
+    job = store.wait_for_job(job_a["id"], 10.0)
+    assert job["status"] == "DONE"
+    assert time.monotonic() - t0 < 1.0
