@@ -222,6 +222,10 @@ def _build_parser():
                    help="opt-in ToMe acceleration for vitseg rows: tokens "
                         "merged per layer (~1.2x at r=16, near-lossless on "
                         "trained models; docs/PERFORMANCE.md)")
+    r.add_argument("--quantize", default="", choices=("", "int8"),
+                   help="opt-in W8A8 dynamic int8 quantization of the "
+                        "vitseg backbone (~1.18x serving, near-lossless on "
+                        "trained models; docs/PERFORMANCE.md)")
 
     d = sub.add_parser("doctor", help="environment / runtime diagnostic")
     d.add_argument("--cpu", action="store_true",
@@ -569,11 +573,15 @@ def cmd_register_model(args) -> int:
         print("error: --token-merge-r applies to vitseg models only",
               file=sys.stderr)
         return 1
+    if args.quantize and args.family != "vitseg":
+        print("error: --quantize applies to vitseg models only",
+              file=sys.stderr)
+        return 1
     model_id = store.register_model(
         args.name, num_classes=args.num_classes, config_name=args.config,
         description=args.description, input_size=args.input_size,
         checkpoint_path=args.ckpt, model_family=args.family,
-        token_merge_r=args.token_merge_r)
+        token_merge_r=args.token_merge_r, quantize=args.quantize)
     print(f"registered model id={model_id} name={args.name} "
           f"family={args.family} config={args.config} "
           f"ckpt={args.ckpt or '<random init>'}")

@@ -35,7 +35,13 @@ def linear_init(key, in_features: int, out_features: int, std: float = 0.02,
 
 def linear(params, x, *, dtype=None):
     """y = x @ W + b. Kernel stored (in, out) fp32; cast to the activation
-    dtype (or an explicit ``dtype``) on use so bf16 compute stays bf16."""
+    dtype (or an explicit ``dtype``) on use so bf16 compute stays bf16.
+
+    Dispatches on the params form: a W8A8-quantized kernel (``kernel_q``,
+    produced by ops/quant.py at model-load time) runs the int8 MXU path —
+    inference-only, per-token dynamic activation scales."""
+    if "kernel_q" in params:
+        return _linear_w8a8(params, x, dtype=dtype)
     if dtype is not None:
         x = x.astype(dtype)
     kernel = params["kernel"].astype(x.dtype)
@@ -43,6 +49,27 @@ def linear(params, x, *, dtype=None):
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return y
+
+
+def _linear_w8a8(params, x, *, dtype=None):
+    """int8 × int8 → int32 MXU contraction with per-token dynamic activation
+    scales and per-output-channel weight scales (ops/quant.py docstring).
+    Output dtype follows the activation dtype, like the fp path."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    out_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, params["kernel_q"],
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s_x * params["kernel_scale"]
+    if "bias" in params:
+        y = y + params["bias"]
+    return y.astype(out_dtype)
 
 
 def layer_norm_init(features: int):

@@ -53,7 +53,8 @@ CREATE TABLE IF NOT EXISTS vision_models (
     config_name TEXT NOT NULL,
     model_family TEXT NOT NULL DEFAULT 'vitseg',
     checkpoint_path TEXT DEFAULT '',
-    token_merge_r INTEGER NOT NULL DEFAULT 0
+    token_merge_r INTEGER NOT NULL DEFAULT 0,
+    quantize TEXT NOT NULL DEFAULT ''
 );
 CREATE TABLE IF NOT EXISTS jobs (
     id TEXT PRIMARY KEY,
@@ -130,6 +131,9 @@ class JobStore:
             if "token_merge_r" not in cols:
                 c.execute("ALTER TABLE vision_models ADD COLUMN"
                           " token_merge_r INTEGER NOT NULL DEFAULT 0")
+            if "quantize" not in cols:
+                c.execute("ALTER TABLE vision_models ADD COLUMN"
+                          " quantize TEXT NOT NULL DEFAULT ''")
 
     def _notify_terminal(self, job_id: str) -> None:
         with self._waiters_lock:
@@ -249,27 +253,35 @@ class JobStore:
                        input_size: int = 224,
                        checkpoint_path: str = "",
                        model_family: str = "vitseg",
-                       token_merge_r: int = 0) -> int:
+                       token_merge_r: int = 0,
+                       quantize: str = "") -> int:
         """model_family: "vitseg" (config_name is a sweep config) or a
         conv family (config_name is an encoder preset) — the serving-side
         face of the model registry (models/registry.py). token_merge_r:
         opt-in ToMe acceleration for vitseg rows (ops/token_merge.py;
-        measured near-lossless on trained models, docs/PERFORMANCE.md)."""
+        measured near-lossless on trained models, docs/PERFORMANCE.md).
+        quantize: "" (exact) or "int8" — W8A8 dynamic quantization of the
+        vitseg backbone's dense layers (ops/quant.py; measured ~1.18x the
+        serving pipeline, near-lossless on trained models)."""
         if token_merge_r and model_family != "vitseg":
             raise ValueError("token_merge_r applies to vitseg models only")
+        if quantize not in ("", "int8"):
+            raise ValueError("quantize must be '' or 'int8'")
+        if quantize and model_family != "vitseg":
+            raise ValueError("quantize applies to vitseg models only")
         with self._conn() as c:
             cur = c.execute(
                 "INSERT OR REPLACE INTO vision_models"
                 " (name, description, num_classes, input_size, config_name,"
-                "  model_family, checkpoint_path, token_merge_r)"
-                " VALUES (?,?,?,?,?,?,?,?)",
+                "  model_family, checkpoint_path, token_merge_r, quantize)"
+                " VALUES (?,?,?,?,?,?,?,?,?)",
                 (name, description, num_classes, input_size, config_name,
-                 model_family, checkpoint_path, token_merge_r))
+                 model_family, checkpoint_path, token_merge_r, quantize))
             return cur.lastrowid
 
     _MODEL_COLS = ("id, name, description, num_classes, input_size,"
                    " config_name, model_family, checkpoint_path,"
-                   " token_merge_r")
+                   " token_merge_r, quantize")
 
     def list_models(self) -> List[Dict]:
         with self._conn() as c:
@@ -290,7 +302,8 @@ class JobStore:
         return {"id": row[0], "name": row[1], "description": row[2],
                 "num_classes": row[3], "input_size": row[4],
                 "config_name": row[5], "model_family": row[6],
-                "checkpoint_path": row[7], "token_merge_r": row[8]}
+                "checkpoint_path": row[7], "token_merge_r": row[8],
+                "quantize": row[9]}
 
     # --------------------------------------------------------------- jobs
     def create_job(self, user_id: Optional[int], vision_model_id: int,

@@ -79,6 +79,17 @@ class ModelRunner:
             self.cfg = dataclasses.replace(
                 self.cfg, vit=dataclasses.replace(self.cfg.vit,
                                                   token_merge_r=merge_r))
+        if model_row.get("quantize") == "int8":
+            # Per-model W8A8 opt-in (vitseg only — store validates): the
+            # backbone's dense weights quantize once at load; the forward
+            # dispatches on the params form (nn/layers.py linear).
+            # Measured ~1.18x the serving pipeline, near-lossless on
+            # trained models (scripts/quant_quality.py).
+            from visiontransformer_tpu.ops.quant import (
+                quantize_vitseg_params,
+            )
+
+            self.params = quantize_vitseg_params(self.params)
         self.color_table = class_color_table(None, self.cfg.num_classes)
 
         self.mesh = None
