@@ -18,11 +18,15 @@ import jax.numpy as jnp
 from visiontransformer_tpu.configs import ViTConfig, ViTSegConfig
 from visiontransformer_tpu.models import vitseg_apply, vitseg_init
 from visiontransformer_tpu.nn.layers import linear, linear_init
+from visiontransformer_tpu.nn.layers import conv2d, conv2d_init
 from visiontransformer_tpu.ops.quant import (
     QUANTIZED_LAYER_KEYS,
     is_quantized,
+    quantize_conv_params,
     quantize_linear_params,
+    quantize_params_tree,
     quantize_vitseg_params,
+    tree_is_quantized,
 )
 
 TINY = ViTSegConfig(
@@ -79,6 +83,82 @@ def test_quantize_vitseg_params_form_and_forward_agreement():
     assert agree > 0.9, agree
 
 
+def test_quantized_conv_matches_fp32_within_tolerance():
+    key = jax.random.PRNGKey(0)
+    p = conv2d_init(key, 32, 48, 3, std=0.05)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
+    ref = conv2d(p, x, stride=2)
+    q = conv2d(quantize_conv_params(p), x, stride=2)
+    err = float(jnp.max(jnp.abs(ref - q)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert err < 0.05, err
+    assert q.dtype == ref.dtype and q.shape == ref.shape
+
+
+def test_quantize_params_tree_unet_policy_and_agreement():
+    """Generic walk on a conv family: stem/head stay fp (skip keys),
+    depthwise-free interior convs quantize, forward stays close."""
+    from visiontransformer_tpu.models.unet import (
+        UNetConfig,
+        unet_apply,
+        unet_init,
+    )
+
+    cfg = UNetConfig(encoder_name="small", num_classes=5,
+                     decoder_channels=(64, 32, 16, 8))
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params_tree(params)
+    assert tree_is_quantized(qparams) and not tree_is_quantized(params)
+    # Policy: stem and head untouched; an interior encoder conv quantized.
+    assert "kernel" in qparams["stem"] and "kernel_q" not in qparams["stem"]
+    assert "kernel" in qparams["head"] and "kernel_q" not in qparams["head"]
+    stage0 = qparams["stages"][0][0] if "stages" in qparams else None
+    flat_q = [d for d in jax.tree.leaves(
+        jax.tree.map(lambda x: x, qparams),
+        is_leaf=lambda n: isinstance(n, dict) and "kernel_q" in n)
+        if isinstance(d, dict)]
+    assert flat_q, "no interior conv was quantized"
+    del stage0
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)),
+                    jnp.float32)
+    ref = unet_apply(params, x, cfg)
+    q = jax.jit(lambda p, x: unet_apply(p, x, cfg))(qparams, x)
+    err = float(jnp.max(jnp.abs(ref - q)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert err < 0.08, err
+    agree = float(jnp.mean(jnp.argmax(ref, -1) == jnp.argmax(q, -1)))
+    assert agree > 0.85, agree  # random-init worst case
+
+
+def test_quantize_params_tree_skips_depthwise_and_input_convs():
+    """MiT/segformer: depthwise (I==1) and RGB-facing convs stay fp,
+    linears quantize, the forward still runs."""
+    from visiontransformer_tpu.models.segformer import (
+        SegformerConfig,
+        segformer_apply,
+        segformer_init,
+    )
+
+    cfg = SegformerConfig(encoder_name="mit_b0", num_classes=4)
+    params = segformer_init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params_tree(params)
+    assert tree_is_quantized(qparams)
+    enc = qparams["encoder"] if "encoder" in qparams else qparams
+    stages = enc["stages"]
+    # Stage 1 embed conv sees RGB (cin=3): must stay fp.
+    assert "kernel" in stages[0]["embed"]
+    # Later-stage embeds are interior convs: quantized.
+    assert "kernel_q" in stages[1]["embed"]
+    # Mix-FFN depthwise keeps its fp kernel; its linears quantize.
+    blk = stages[0]["blocks"][0]
+    assert "kernel" in blk["ffn"]["dw"]
+    assert "kernel_q" in blk["ffn"]["fc1"]
+
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 3)),
+                    jnp.float32)
+    out = jax.jit(lambda p, x: segformer_apply(p, x, cfg))(qparams, x)
+    assert out.shape == (1, 64, 64, 4)
+
+
 def test_quantize_rejects_stacked_pipeline_params():
     params = vitseg_init(jax.random.PRNGKey(0), TINY)
     stacked = dict(params)
@@ -90,7 +170,7 @@ def test_quantize_rejects_stacked_pipeline_params():
 
 
 def test_registry_validation_and_serving_opt_in(tmp_path):
-    """quantize='int8' is vitseg-only, persists through the registry, and
+    """quantize='int8' persists through the registry for any family, and
     the runner serves a job end to end on quantized params (mirrors the
     ToMe opt-in test)."""
     from PIL import Image
@@ -99,9 +179,6 @@ def test_registry_validation_and_serving_opt_in(tmp_path):
     from visiontransformer_tpu.serve.worker import InferenceWorker, ModelRunner
 
     store = JobStore(":memory:", media_root=str(tmp_path / "media"))
-    with pytest.raises(ValueError, match="vitseg"):
-        store.register_model("bad", num_classes=4, config_name="small",
-                             model_family="unet", quantize="int8")
     with pytest.raises(ValueError, match="quantize"):
         store.register_model("bad2", num_classes=4, config_name="P16H512A8",
                              quantize="int4")

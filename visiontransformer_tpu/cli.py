@@ -223,8 +223,8 @@ def _build_parser():
                         "merged per layer (~1.2x at r=16, near-lossless on "
                         "trained models; docs/PERFORMANCE.md)")
     r.add_argument("--quantize", default="", choices=("", "int8"),
-                   help="opt-in W8A8 dynamic int8 quantization of the "
-                        "vitseg backbone (~1.18x serving, near-lossless on "
+                   help="opt-in W8A8 dynamic int8 quantization, any model "
+                        "family (~1.18x vitseg serving, near-lossless on "
                         "trained models; docs/PERFORMANCE.md)")
 
     d = sub.add_parser("doctor", help="environment / runtime diagnostic")
@@ -571,10 +571,6 @@ def cmd_register_model(args) -> int:
     store = JobStore(args.db, media_root=args.media_root)
     if args.token_merge_r and args.family != "vitseg":
         print("error: --token-merge-r applies to vitseg models only",
-              file=sys.stderr)
-        return 1
-    if args.quantize and args.family != "vitseg":
-        print("error: --quantize applies to vitseg models only",
               file=sys.stderr)
         return 1
     model_id = store.register_model(

@@ -107,7 +107,13 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME", dilation: int = 1,
            dtype=None):
     """NHWC conv. XLA maps this straight onto the MXU for large channel
     counts. ``dilation`` is atrous kernel dilation (rhs_dilation); with
-    SAME padding the output keeps the input's spatial size."""
+    SAME padding the output keeps the input's spatial size.
+
+    Dispatches on the params form like ``linear``: a W8A8-quantized kernel
+    (``kernel_q``, ops/quant.py) runs the int8 MXU conv path."""
+    if "kernel_q" in params:
+        return _conv2d_w8a8(params, x, stride=stride, padding=padding,
+                            dilation=dilation, dtype=dtype)
     if dtype is not None:
         x = x.astype(dtype)
     kernel = params["kernel"].astype(x.dtype)
@@ -120,6 +126,35 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME", dilation: int = 1,
         preferred_element_type=x.dtype,
     )
     return y + params["bias"].astype(y.dtype)
+
+
+def _conv2d_w8a8(params, x, *, stride, padding, dilation, dtype=None):
+    """int8 × int8 → int32 MXU convolution with a dynamic PER-SAMPLE
+    activation scale and per-output-channel weight scales.
+
+    Per-sample (not per-token) activation scales: a conv reduction window
+    spans H×W×C positions, so the dequantization factor must be uniform
+    over everything one output pixel reduces — the finest legal dynamic
+    granularity is one scale per batch element. Weight scales are
+    per-output-channel like the linear path (reduction never crosses the
+    O axis of an HWIO kernel)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    out_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(x32), axis=(1, 2, 3), keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, params["kernel_q"],
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s_x * params["kernel_scale"]
+    return (y + params["bias"]).astype(out_dtype)
 
 
 def dropout(key: Optional[jax.Array], x, rate: float, *, deterministic: bool):

@@ -1,4 +1,5 @@
-"""Post-training W8A8 dynamic int8 quantization for the ViT backbone.
+"""Post-training W8A8 dynamic int8 quantization (ViT backbone + the full
+conv-family model zoo).
 
 Opt-in inference acceleration (like token merging, ops/token_merge.py): the
 encoder's dense layers — fused QKV, attention output, MLP in/out, which
@@ -54,6 +55,82 @@ def quantize_linear_params(params: dict) -> dict:
     if "bias" in params:
         out["bias"] = params["bias"]
     return out
+
+
+def quantize_conv_params(params: dict) -> dict:
+    """{"kernel": (kh, kw, in, out) HWIO fp32, "bias"} -> W8A8 form
+    {"kernel_q": int8, "kernel_scale": (out,) fp32, "bias"}. Scales are
+    per-output-channel (reduction never crosses the O axis)."""
+    w = jnp.asarray(params["kernel"], jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"kernel_q": wq, "kernel_scale": scale}
+    if "bias" in params:
+        out["bias"] = params["bias"]
+    return out
+
+
+# Subtrees the generic quantizer leaves in the compute dtype wherever they
+# appear: the logits head (classic last-layer PTQ cliff, negligible FLOPs
+# at num_classes channels) and the input stem / patch embed (first-layer
+# cliff; also caught structurally by the cin<=4 rule below).
+QUANT_SKIP_KEYS = frozenset({"head", "stem", "patch_embed"})
+
+
+def quantize_params_tree(params, *, skip_keys=QUANT_SKIP_KEYS):
+    """Generic post-training W8A8 quantizer for any model-family pytree
+    (models/registry.py): walks dicts/lists and rewrites every linear
+    (2-D kernel) and every interior conv (4-D HWIO kernel) param dict to
+    the quantized form that ``linear``/``conv2d`` (nn/layers.py) dispatch
+    on. Left in the compute dtype:
+
+    - ``skip_keys`` subtrees (logits head, input stem, patch embed);
+    - depthwise convs (HWIO with I==1 — VPU-bound, no MXU win);
+    - input-facing convs (cin <= 4, i.e. RGB/RGBA stems) — the
+      first-layer quantization cliff, structurally detected.
+
+    The vitseg family keeps its dedicated ``quantize_vitseg_params``
+    (encoder-layer allowlist); this walk serves the conv families and the
+    MiT/segformer encoders. Returns a new pytree; input unchanged."""
+    def walk(node):
+        if isinstance(node, dict):
+            kernel = node.get("kernel")
+            if kernel is not None and hasattr(kernel, "ndim"):
+                if kernel.ndim == 2:
+                    return quantize_linear_params(node)
+                if kernel.ndim == 4 and kernel.shape[2] > 4:
+                    return quantize_conv_params(node)
+                return node
+            return {k: (v if k in skip_keys else walk(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
+def tree_is_quantized(params) -> bool:
+    """True if any param dict in the tree is in the W8A8 form."""
+    found = False
+
+    def walk(node):
+        nonlocal found
+        if found:
+            return
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                found = True
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return found
 
 
 def quantize_vit_params(backbone: dict) -> dict:

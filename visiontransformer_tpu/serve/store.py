@@ -261,14 +261,13 @@ class JobStore:
         opt-in ToMe acceleration for vitseg rows (ops/token_merge.py;
         measured near-lossless on trained models, docs/PERFORMANCE.md).
         quantize: "" (exact) or "int8" — W8A8 dynamic quantization of the
-        vitseg backbone's dense layers (ops/quant.py; measured ~1.18x the
-        serving pipeline, near-lossless on trained models)."""
+        model's dense/conv weights, any family (ops/quant.py; measured
+        ~1.18x the vitseg serving pipeline, near-lossless on trained
+        models)."""
         if token_merge_r and model_family != "vitseg":
             raise ValueError("token_merge_r applies to vitseg models only")
         if quantize not in ("", "int8"):
             raise ValueError("quantize must be '' or 'int8'")
-        if quantize and model_family != "vitseg":
-            raise ValueError("quantize applies to vitseg models only")
         with self._conn() as c:
             cur = c.execute(
                 "INSERT OR REPLACE INTO vision_models"

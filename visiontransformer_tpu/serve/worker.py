@@ -80,16 +80,21 @@ class ModelRunner:
                 self.cfg, vit=dataclasses.replace(self.cfg.vit,
                                                   token_merge_r=merge_r))
         if model_row.get("quantize") == "int8":
-            # Per-model W8A8 opt-in (vitseg only — store validates): the
-            # backbone's dense weights quantize once at load; the forward
-            # dispatches on the params form (nn/layers.py linear).
-            # Measured ~1.18x the serving pipeline, near-lossless on
-            # trained models (scripts/quant_quality.py).
+            # Per-model W8A8 opt-in (any family): weights quantize once at
+            # load; the forward dispatches on the params form
+            # (nn/layers.py linear/conv2d). vitseg uses the encoder-layer
+            # allowlist; conv/MiT families the generic tree walk.
+            # Measured ~1.18x the vitseg serving pipeline, near-lossless
+            # on trained models (scripts/quant_quality.py).
             from visiontransformer_tpu.ops.quant import (
+                quantize_params_tree,
                 quantize_vitseg_params,
             )
 
-            self.params = quantize_vitseg_params(self.params)
+            if self.family == "vitseg":
+                self.params = quantize_vitseg_params(self.params)
+            else:
+                self.params = quantize_params_tree(self.params)
         self.color_table = class_color_table(None, self.cfg.num_classes)
 
         self.mesh = None
