@@ -94,6 +94,16 @@ def test_quantized_conv_matches_fp32_within_tolerance():
     assert q.dtype == ref.dtype and q.shape == ref.shape
 
 
+def test_quantized_conv_dilation_matches_fp32():
+    """Atrous convs (DeepLab ASPP) go through the same int8 dispatch."""
+    p = conv2d_init(jax.random.PRNGKey(2), 16, 24, 3, std=0.05)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 16))
+    ref = conv2d(p, x, dilation=2)
+    q = conv2d(quantize_conv_params(p), x, dilation=2)
+    err = float(jnp.max(jnp.abs(ref - q)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert err < 0.05, err
+
+
 def test_quantize_params_tree_unet_policy_and_agreement():
     """Generic walk on a conv family: stem/head stay fp (skip keys),
     depthwise-free interior convs quantize, forward stays close."""
