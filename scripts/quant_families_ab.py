@@ -47,8 +47,7 @@ def bench(serve, params, images):
 
 def main():
     fams = (sys.argv[1].split(",") if len(sys.argv) > 1
-            else ["unet", "pspnet", "deeplavv3plus", "segformer"])
-    fams = [f.replace("deeplavv3plus", "deeplabv3plus") for f in fams]
+            else ["unet", "pspnet", "deeplabv3plus", "segformer"])
     encoder = sys.argv[2] if len(sys.argv) > 2 else "resnet34"
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((BATCH, 224, 224, 3)), jnp.float32)

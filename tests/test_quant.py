@@ -179,6 +179,37 @@ def test_quantize_rejects_stacked_pipeline_params():
         quantize_vitseg_params(stacked)
 
 
+def test_is_quantized_layout_independent():
+    """is_quantized answers for conv-family trees too (it delegates to the
+    generic tree walk), not just the vitseg backbone layout."""
+    from visiontransformer_tpu.models.unet import UNetConfig, unet_init
+
+    cfg = UNetConfig(encoder_name="small", num_classes=5,
+                     decoder_channels=(64, 32, 16, 8))
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    assert not is_quantized(params)
+    assert is_quantized(quantize_params_tree(params))
+
+
+def test_trainer_rejects_quantized_params():
+    """W8A8 kernels have zero gradient (round/clip) — the Trainer must
+    refuse to train them rather than silently learn nothing."""
+    from visiontransformer_tpu.configs import TrainConfig
+    from visiontransformer_tpu.train.state import TrainState
+    from visiontransformer_tpu.train.trainer import Trainer
+
+    trainer = Trainer(TINY, TrainConfig(batch_size=2, max_epochs=1,
+                                        accumulate_grad_batches=1),
+                      use_mesh=False)
+    state = trainer.init_state()
+    qstate = TrainState(params=quantize_vitseg_params(state.params),
+                        opt_state=state.opt_state, step=state.step)
+    batch = {"image": jnp.zeros((2, 32, 32, 3), jnp.float32),
+             "mask": jnp.zeros((2, 32, 32), jnp.int32)}
+    with pytest.raises(ValueError, match="inference-only"):
+        trainer.train_step(qstate, batch, jax.random.PRNGKey(0))
+
+
 def test_registry_validation_and_serving_opt_in(tmp_path):
     """quantize='int8' persists through the registry for any family, and
     the runner serves a job end to end on quantized params (mirrors the

@@ -157,6 +157,41 @@ def vit_apply(params: dict, images: jnp.ndarray, cfg: ViTConfig, *,
     """
     x, rng = vit_embed(params, images, cfg, deterministic=deterministic,
                        rng=rng, dtype=dtype)
+    return _vit_encode(params, x, rng, cfg, deterministic=deterministic,
+                       attn_impl=attn_impl, act_sharding=act_sharding)
+
+
+def vit_apply_from_patch_tokens(params: dict, patch_tokens: jnp.ndarray,
+                                cfg: ViTConfig, *,
+                                deterministic: bool = True,
+                                rng: Optional[jax.Array] = None,
+                                attn_impl: str = "auto", dtype=jnp.float32,
+                                act_sharding=None) -> jnp.ndarray:
+    """vit_apply, but starting from already-projected patch embeddings
+    (B, N, hidden) — the entry point for fused preprocessing paths that
+    compose resize/normalize/patchify/projection into one contraction
+    (ops/fused_preproc.py). CLS + position embeddings + dropout + encoder
+    run identically to vit_apply."""
+    x = patch_tokens.astype(dtype)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                           (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(dtype)
+    if rng is not None:
+        r_embed, rng = jax.random.split(rng)
+        x = dropout(r_embed, x, cfg.hidden_dropout_prob,
+                    deterministic=deterministic)
+    return _vit_encode(params, x, rng, cfg, deterministic=deterministic,
+                       attn_impl=attn_impl, act_sharding=act_sharding)
+
+
+def _vit_encode(params: dict, x: jnp.ndarray, rng, cfg: ViTConfig, *,
+                deterministic: bool, attn_impl: str,
+                act_sharding=None) -> jnp.ndarray:
+    """Shared encoder trunk: (B, N+1, hidden) embedded tokens -> final
+    hidden states (block loop + final LN, with optional token merging /
+    remat / sequence-parallel sharding)."""
     if act_sharding is not None:
         x = jax.lax.with_sharding_constraint(x, act_sharding)
 

@@ -98,12 +98,67 @@ def vitseg_predict(params: dict, images: jnp.ndarray, cfg: ViTSegConfig, *,
         out_size = (images.shape[1], images.shape[2])
     x = vitseg_head_logits(params, images, cfg, deterministic=True,
                            attn_impl=attn_impl)
+    return _upsample_argmax_epilogue(x, tuple(out_size), epilogue)
+
+
+def _upsample_argmax_epilogue(grid_logits: jnp.ndarray, out_size, epilogue):
     if epilogue == "pallas":
         from visiontransformer_tpu.ops.upsample_argmax import upsample_argmax
 
-        return upsample_argmax(x.astype(jnp.float32), tuple(out_size))
-    logits = resize_bilinear_mm(x.astype(jnp.float32), tuple(out_size))
+        return upsample_argmax(grid_logits.astype(jnp.float32), out_size)
+    logits = resize_bilinear_mm(grid_logits.astype(jnp.float32), out_size)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def vitseg_head_from_tokens(params: dict, tokens: jnp.ndarray,
+                            cfg: ViTSegConfig) -> jnp.ndarray:
+    """Final hidden states (B, N+1, hidden) -> grid logits (B, g, g, C):
+    the CLS-drop + fold + conv head shared by every forward variant."""
+    tokens = tokens[:, 1:, :]
+    b = tokens.shape[0]
+    g = cfg.vit.grid_size
+    features = tokens.reshape(b, g, g, cfg.vit.hidden_size)
+    x = conv2d(params["head_conv1"], features)
+    x = jax.nn.relu(x)
+    return conv2d(params["head_conv2"], x)
+
+
+def vitseg_build_fused_preproc(params: dict, cfg: ViTSegConfig, *,
+                               in_size: int, mean, std,
+                               input_scale: float = 1.0) -> dict:
+    """Precompute the fused resize→normalize→patch-embed constants for
+    ``vitseg_predict_fused`` (ops/fused_preproc.py). ``in_size`` is the raw
+    request resolution (512 for the headline pipeline); the compute
+    resolution is the backbone's (cfg.vit.image_size = 224, the
+    reference-parity semantics — model/CE/testViTModel.py:92-97)."""
+    from visiontransformer_tpu.ops.fused_preproc import build_fused_embed
+
+    return build_fused_embed(
+        params["backbone"]["patch_embed"],
+        patch_size=cfg.vit.patch_size, in_size=in_size,
+        compute_size=cfg.vit.image_size, mean=mean, std=std,
+        input_scale=input_scale)
+
+
+def vitseg_predict_fused(params: dict, consts: dict, raw: jnp.ndarray,
+                         cfg: ViTSegConfig, *, out_size,
+                         attn_impl: str = "auto") -> jnp.ndarray:
+    """The headline serving forward with the preprocessing stage folded into
+    the patch embedding: (B, in, in, C) raw images (fp32 in [0,1], or uint8
+    when the consts folded input_scale=1/255) -> (B, out_H, out_W) int32
+    masks. Same semantics as resize→normalize→``vitseg_predict``; the
+    resize/normalize programs disappear into the embed contraction
+    (ops/fused_preproc.py; A/B in scripts/fuse_preproc_ab.py)."""
+    from visiontransformer_tpu.ops.fused_preproc import fused_resize_embed
+    from visiontransformer_tpu.models.vit import vit_apply_from_patch_tokens
+
+    dtype = cfg.dtype
+    patch_tokens = fused_resize_embed(consts, raw, dtype=dtype)
+    tokens = vit_apply_from_patch_tokens(params["backbone"], patch_tokens,
+                                         cfg.vit, dtype=dtype,
+                                         attn_impl=attn_impl)
+    grid = vitseg_head_from_tokens(params, tokens, cfg)
+    return _upsample_argmax_epilogue(grid, tuple(out_size), "xla")
 
 
 def vitseg_apply_pipelined(params: dict, images: jnp.ndarray,

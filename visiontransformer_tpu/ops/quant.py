@@ -158,5 +158,7 @@ def quantize_vitseg_params(params: dict) -> dict:
 
 
 def is_quantized(params: dict) -> bool:
-    layers = params.get("backbone", params).get("layers")
-    return bool(layers) and "kernel_q" in layers[0].get("qkv", {})
+    """True if any param dict in the tree is in the W8A8 form — alias of
+    ``tree_is_quantized`` so the answer is layout-independent (vitseg
+    backbones and conv-family trees alike)."""
+    return tree_is_quantized(params)

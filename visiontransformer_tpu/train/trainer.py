@@ -304,6 +304,18 @@ class Trainer:
         grad program's epilogue and the 1/accum scale in the update, so no
         standalone pytree-traffic dispatches remain), then apply the update."""
         if self._train_step is None:
+            from visiontransformer_tpu.ops.quant import tree_is_quantized
+
+            # W8A8 kernels (ops/quant.py) round/clip to int8 — zero gradient
+            # everywhere. Training such a tree would silently learn nothing
+            # (e.g. fine-tuning params loaded from a quantized serving
+            # registry entry), so reject it up front.
+            if tree_is_quantized(state.params):
+                raise ValueError(
+                    "params contain W8A8-quantized kernels (kernel_q); "
+                    "quantization is inference-only (round/clip has zero "
+                    "gradient). Train from the fp32 checkpoint and quantize "
+                    "at serving-load time (ops/quant.py).")
             grad_shardings = None
             if self.mesh is not None and (self.train_cfg.fsdp
                                           or self.pipeline):
