@@ -35,6 +35,7 @@ Both processes print `process_cpu`: if client CPU + server CPU ≈ wall (core
 saturated) the full-stack gap is bench-client contention, not stack cost.
 """
 
+import http.client
 import io
 import json
 import os
@@ -42,6 +43,7 @@ import sys
 import tempfile
 import threading
 import time
+import urllib.parse
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
@@ -56,6 +58,97 @@ SERVE_INPUT = int(os.environ.get("SERVE_INPUT", "224"))
 WORKER_ONLY = os.environ.get("WORKER_ONLY", "") == "1"
 SERVE_ONLY = os.environ.get("SERVE_ONLY", "") == "1"
 CLIENT_ONLY = os.environ.get("CLIENT_ONLY", "")
+# KEEPALIVE=1 (default): one persistent HTTP/1.1 connection per client
+# thread (the server is keep-alive-ready — protocol_version HTTP/1.1 +
+# Content-Length on every response); 0: the round-3 urllib client, which
+# opens a fresh TCP connection (and server thread) per request.
+KEEPALIVE = os.environ.get("KEEPALIVE", "1") == "1"
+
+
+class KeepAliveClient:
+    """Minimal persistent-connection REST client: cookie jar + CSRF over one
+    http.client.HTTPConnection, reconnecting transparently. Amortizes TCP
+    connect + server thread-spawn across a client's whole job stream — the
+    untried lever round 4's split-process isolation pointed at
+    (docs/PERFORMANCE.md round-4 section)."""
+
+    def __init__(self, base: str, username: str):
+        u = urllib.parse.urlparse(base)
+        self.host, self.port = u.hostname, u.port
+        self.conn = None
+        self.cookies = {}
+        self.request("GET", "/api/csrf/")
+        for path in ("/api/users/register/", "/api/users/login/"):
+            self.post_json(path, {"username": username,
+                                  "password": "pw-123456"})
+
+    def _headers(self, extra):
+        h = dict(extra or {})
+        if self.cookies:
+            h["Cookie"] = "; ".join(f"{k}={v}"
+                                    for k, v in self.cookies.items())
+        if "csrftoken" in self.cookies:
+            h.setdefault("X-CSRFToken", self.cookies["csrftoken"])
+        return h
+
+    def request(self, method, path, body=None, headers=None, tries=5):
+        last = None
+        for i in range(tries):
+            try:
+                if self.conn is None:
+                    self.conn = http.client.HTTPConnection(
+                        self.host, self.port, timeout=120)
+                self.conn.request(method, path, body=body,
+                                  headers=self._headers(headers))
+                resp = self.conn.getresponse()
+                data = resp.read()  # drain fully so the connection reuses
+                for sc in resp.msg.get_all("Set-Cookie") or []:
+                    name, _, rest = sc.partition("=")
+                    self.cookies[name.strip()] = rest.split(";")[0]
+                if resp.will_close:
+                    self.conn.close()
+                    self.conn = None
+                return resp.status, data
+            except (http.client.HTTPException, ConnectionError,
+                    OSError) as exc:
+                last = exc
+                try:
+                    if self.conn is not None:
+                        self.conn.close()
+                except OSError:
+                    pass
+                self.conn = None
+                time.sleep(0.05 * (i + 1))
+        raise RuntimeError(f"request failed after {tries} tries: {last}")
+
+    def post_json(self, path, payload):
+        return self.request(
+            "POST", path, body=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+
+    def submit_and_wait(self, png_bytes: bytes, model_id) -> str:
+        boundary = "----benchboundary"
+        body = io.BytesIO()
+        body.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                   f"name=\"vision_model\"\r\n\r\n{model_id}\r\n".encode())
+        body.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                   f"name=\"input_image\"; filename=\"img.png\"\r\n"
+                   f"Content-Type: image/png\r\n\r\n".encode())
+        body.write(png_bytes)
+        body.write(f"\r\n--{boundary}--\r\n".encode())
+        status, data = self.request(
+            "POST", "/api/inference-jobs/", body=body.getvalue(),
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        job_id = json.loads(data)["id"]
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            _, data = self.request(
+                "GET", f"/api/inference-jobs/{job_id}/?wait=30")
+            st = json.loads(data)
+            if st["status"] in ("DONE", "FAILED"):
+                return st["status"]
+        return "TIMEOUT"
 
 
 def make_client(base, username):
@@ -134,21 +227,41 @@ def _png_payload():
     return buf.getvalue()
 
 
+def _submit_all(pool, base, user_prefix, png_bytes, model_id):
+    """Queue N_JOBS submit→wait tasks. KEEPALIVE: one persistent client per
+    pool worker thread (HTTPConnection is not thread-safe, so clients are
+    thread-local — exactly N_CLIENTS connections); else the urllib
+    per-request-connection clients, round-robin as in round 3."""
+    if KEEPALIVE:
+        local = threading.local()
+
+        def run_one():
+            if not hasattr(local, "client"):
+                local.client = KeepAliveClient(
+                    base, f"{user_prefix}_{threading.get_ident()}")
+            return local.client.submit_and_wait(png_bytes, model_id)
+
+        return [pool.submit(run_one) for _ in range(N_JOBS)]
+    clients = [make_client(base, f"{user_prefix}_{i}")
+               for i in range(N_CLIENTS)]
+    return [pool.submit(submit_and_wait, *clients[i % N_CLIENTS],
+                        base, png_bytes, model_id)
+            for i in range(N_JOBS)]
+
+
 def client_main(base: str) -> None:
     """Client-process half of the split bench: pure stdlib HTTP (no jax),
     so its reported process CPU is exactly the bench-client cost."""
     png_bytes = _png_payload()
     model_id = json.loads(urllib.request.urlopen(
         base + "/api/vision-models/").read())["results"][0]["id"]
-    print(f"driving {N_JOBS} jobs from {N_CLIENTS} clients (split process)...")
-    clients = [make_client(base, f"xuser{os.getpid()}_{i}")
-               for i in range(N_CLIENTS)]
+    print(f"driving {N_JOBS} jobs from {N_CLIENTS} clients (split process, "
+          f"keepalive={KEEPALIVE})...")
     results = []
     t0, c0 = time.perf_counter(), time.process_time()
     with ThreadPoolExecutor(max_workers=N_CLIENTS) as pool:
-        futs = [pool.submit(submit_and_wait, *clients[i % N_CLIENTS],
-                            base, png_bytes, model_id)
-                for i in range(N_JOBS)]
+        futs = _submit_all(pool, base, f"xuser{os.getpid()}", png_bytes,
+                           model_id)
         results = [f.result() for f in futs]
     dt = time.perf_counter() - t0
     cpu = time.process_time() - c0
@@ -254,15 +367,12 @@ def main():
         worker.stop()
         return
 
-    print(f"driving {N_JOBS} jobs from {N_CLIENTS} clients...")
-    clients = [make_client(base, f"user{i}") for i in range(N_CLIENTS)]
-
+    print(f"driving {N_JOBS} jobs from {N_CLIENTS} clients "
+          f"(keepalive={KEEPALIVE})...")
     results = []
     t0, c0 = time.perf_counter(), time.process_time()
     with ThreadPoolExecutor(max_workers=N_CLIENTS) as pool:
-        futs = [pool.submit(submit_and_wait, *clients[i % N_CLIENTS],
-                            base, png_bytes, model_id)
-                for i in range(N_JOBS)]
+        futs = _submit_all(pool, base, "user", png_bytes, model_id)
         results = [f.result() for f in futs]
     dt = time.perf_counter() - t0
     cpu = time.process_time() - c0

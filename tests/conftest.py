@@ -25,6 +25,16 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Filled by pytest_collection_finish; read by tests/test_meta.py to keep the
+# README's advertised test count honest (it drifted in rounds 2, 3 and 4).
+COLLECTION = {"n_items": 0, "n_files": 0}
+
+
+def pytest_collection_finish(session):
+    files = {item.path for item in session.items}
+    COLLECTION["n_items"] = len(session.items)
+    COLLECTION["n_files"] = len(files)
+
 
 @pytest.fixture(scope="session")
 def rng():
