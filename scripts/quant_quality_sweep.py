@@ -49,6 +49,7 @@ def main():
     )
     from visiontransformer_tpu.models import vitseg_apply, vitseg_init
     from visiontransformer_tpu.ops.quant import quantize_vitseg_params
+    from visiontransformer_tpu.ops.resize import resize_nearest_pil
 
     names = (sys.argv[1].split(",") if len(sys.argv) > 1
              else [e.name for e in SWEEP_CONFIGS])
@@ -64,7 +65,11 @@ def main():
     num_classes = probe.num_classes
     test_imgs = np.stack([test_ds[i][0] for i in range(len(test_f))])
     test_masks = np.stack([test_ds[i][1] for i in range(len(test_f))])
-    gt = jnp.asarray(test_masks)
+    # GT masks are stored at 256² (reference CE parity, data/dataset.py);
+    # bring them to the 224² prediction grid the way the evaluator does
+    # (PIL-NEAREST — evaluation/evaluate.py:76-79).
+    gt = resize_nearest_pil(jnp.asarray(test_masks),
+                            (IMG, IMG)).astype(jnp.int32)
     print(f"{len(test_f)} test images, {num_classes} classes", flush=True)
 
     @jax.jit
