@@ -22,9 +22,11 @@ Baseline: the reference's closest published number is ViT-B-shape
 P16H768A12 at 0.349 s/img → 2.86 img/s (224px, host 'hub-hpc'; BASELINE.md).
 vs_baseline divides by that. North star: ≥2000 masks/s/chip.
 
-Timing amortizes 100 dispatches per measurement and repeats 5 rounds,
-reporting the best (remote-tunnel dispatch makes single-call timing
-meaningless; the chip is pooled/shared — see .claude/skills/verify/SKILL.md).
+Timing amortizes 100 dispatches per measurement, repeats 8 rounds per
+pass and 3 passes separated by 20 s pauses, reporting the best
+(remote-tunnel dispatch makes single-call timing meaningless; the chip is
+pooled/shared and contention bursts can outlast a single pass — r4/r5
+variance study in docs/PERFORMANCE.md).
 """
 
 import json
@@ -46,6 +48,11 @@ ITERS = 100  # amortizes the end-of-round mask readback, which on this
 ROUNDS = 8  # the chip is pooled/shared; best-of-N rides out contention
             # (each round ~1.5 s; extra rounds are extra chances to catch an
             # uncontended window — the margin over the 2k north star is ~8%)
+PASSES = 3      # r4's driver capture (1,950.5) showed contention can last a
+PASS_GAP_S = 20  # whole ~15 s process; separating passes by a pause makes
+                 # one ~2 min process span several pool windows (the r5
+                 # variance study, docs/PERFORMANCE.md: four independent
+                 # processes all measured 2,175–2,181)
 
 # ImageNet normalization constants (standard for ViT preprocessing).
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -81,17 +88,20 @@ def main():
     np.asarray(serve_step(params, images))  # compile + full sync
 
     best = 0.0
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = serve_step(params, images)
-        # Full host readback: block_until_ready alone returns early through
-        # the remote-TPU tunnel and over-reports; the uint8 masks are the
-        # actual serving payload (8 MB/batch-32), so hauling them back is
-        # part of the honest measurement.
-        np.asarray(out)
-        dt = time.perf_counter() - t0
-        best = max(best, BATCH * ITERS / dt)
+    for p in range(PASSES):
+        if p:
+            time.sleep(PASS_GAP_S)
+        for _ in range(ROUNDS):
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = serve_step(params, images)
+            # Full host readback: block_until_ready alone returns early
+            # through the remote-TPU tunnel and over-reports; the uint8
+            # masks are the actual serving payload (8 MB/batch-32), so
+            # hauling them back is part of the honest measurement.
+            np.asarray(out)
+            dt = time.perf_counter() - t0
+            best = max(best, BATCH * ITERS / dt)
 
     print(json.dumps({
         "metric": "512px masks/sec/chip (ViT-B/16 seg, bf16, batch %d, "

@@ -12,13 +12,20 @@
 # checkpoint, then eval-sweep + compare produce the reference-schema CSVs
 # and report.
 #
-# Env: PAED_SAMPLES (600), PAED_EPOCHS (40), PAED_CKPT (/root/ckpts_paed_r5)
+# Env: PAED_SAMPLES (600), PAED_EPOCHS (120), PAED_CKPT (/root/ckpts_paed_r5)
+#
+# 120 epochs, not 40: the PAED loss has a long all-background plateau before
+# the crack class lifts off — the committed P8H512A8 convergence run sat at
+# val_IoU=0 for 43 epochs and lifted off at epoch 44 (after the plateau
+# scheduler's patience-30 LR cut; examples/convergence/paed_binary/
+# metrics.csv). A 40-epoch budget reproduced exactly that plateau and
+# nothing after it (measured in round 5).
 set -u
 cd "$(dirname "$0")/.."
 LOG_DIR=/tmp/paed_sweep_logs
 mkdir -p "$LOG_DIR"
 SAMPLES="${PAED_SAMPLES:-600}"
-EPOCHS="${PAED_EPOCHS:-40}"
+EPOCHS="${PAED_EPOCHS:-120}"
 CKPT="${PAED_CKPT:-/root/ckpts_paed_r5}"
 
 run() {
@@ -29,8 +36,14 @@ run() {
     return 0
   fi
   echo "== paed $cfg (accum=$accum, samples=$SAMPLES) start $(date +%T)"
+  # CONV_NO_EARLYSTOP: patience-6 val_loss early stopping (the reference
+  # recipe, ViTscript.py:70) fires inside the all-background plateau at this
+  # dataset scale (measured: stop at epoch 9, val_IoU still 0) — the fixed
+  # epoch budget is the honest sweep recipe, like the committed 120-epoch
+  # convergence run.
   CONV_CONFIG="$cfg" CONV_LR=3e-4 CONV_TAG="paed_$cfg" CONV_ACCUM="$accum" \
   CONV_SAMPLES="$SAMPLES" CONV_EPOCHS="$EPOCHS" CONV_SAVE_CKPT="$CKPT" \
+  CONV_NO_EARLYSTOP=1 \
     timeout 7200 python scripts/train_convergence.py paed_binary \
     > "$LOG_DIR/$cfg.log" 2>&1
   local rc=$?
